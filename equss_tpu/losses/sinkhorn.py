@@ -1,0 +1,70 @@
+"""SwAV-style cluster loss with distributed Sinkhorn-Knopp.
+
+Functional equivalent of ClusterLoss (/root/reference/model/loss.py:267-340).
+The reference's torch.distributed all_reduce calls become optional
+``lax.psum`` over a named mesh axis; under pjit/GSPMD with globally-shaped
+inputs no explicit collective is needed at all.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def distributed_sinkhorn(
+    out: jnp.ndarray,
+    *,
+    epsilon: float,
+    n_iters: int = 3,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """Sinkhorn normalization of assignment scores (loss.py:279-308).
+
+    out: (n, K) scores.  Returns the (n, K) soft assignment.
+    """
+    Q = jnp.exp(out / epsilon).T                    # (K, n)
+    world = jax.lax.psum(1, axis_name) if axis_name is not None else 1
+    B = Q.shape[1] * world
+    K = Q.shape[0]
+
+    sum_Q = jnp.sum(Q)
+    if axis_name is not None:
+        sum_Q = jax.lax.psum(sum_Q, axis_name)
+    Q = Q / sum_Q
+
+    def body(Q, _):
+        rows = jnp.sum(Q, axis=1, keepdims=True)
+        if axis_name is not None:
+            rows = jax.lax.psum(rows, axis_name)
+        Q = Q / rows / K
+        Q = Q / jnp.sum(Q, axis=0, keepdims=True) / B
+        return Q, None
+
+    Q, _ = jax.lax.scan(body, Q, None, length=n_iters)
+    return (Q * B).T
+
+
+def cluster_loss(
+    out_prototypes: jnp.ndarray,
+    *,
+    temperature: float,
+    epsilon: float,
+    queue_scores: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """Cross-entropy to Sinkhorn targets (loss.py:310-340).
+
+    out_prototypes: (n, K) prototype scores; queue_scores: optional
+    (queue_len, K) extra scores prepended for the Sinkhorn (the caller
+    owns queue bookkeeping, kept functional here).
+    """
+    n = out_prototypes.shape[0]
+    scores = jax.lax.stop_gradient(out_prototypes)
+    if queue_scores is not None:
+        scores = jnp.concatenate([queue_scores, scores], axis=0)
+    q = distributed_sinkhorn(scores, epsilon=epsilon, axis_name=axis_name)[-n:]
+    q = jax.lax.stop_gradient(q)
+    x = out_prototypes / temperature
+    return -0.5 * jnp.mean(jnp.sum(q * jax.nn.log_softmax(x, axis=1), axis=1))

@@ -1,0 +1,429 @@
+"""Product/vector quantization ops, TPU-first.
+
+Re-designs the quantizer family of the reference
+(/root/reference/model/dino_pqgo.py:157-776, model/quantizer.py:12-614):
+``Codebook`` (learned codebook: codebook + commitment loss),
+``EMACodebook`` (EMA codebook with Laplace-smoothed updates), and
+``ProductQuantizerWrapper`` (M independent subspace quantizers).
+
+Key TPU design decisions (vs. the reference's per-subspace Python loop,
+dino_pqgo.py:757-768):
+
+* All M subspaces are quantized in ONE batched einsum
+  ``(n, M, d) x (M, K, d) -> (n, M, K)`` that XLA tiles onto the MXU —
+  no Python loop, no per-module state.
+* State is explicit and functional: EMA buffers are inputs/outputs of the
+  pure ``pq_forward`` function, so they thread cleanly through ``jit`` /
+  ``pjit`` and checkpointing.
+* Cross-replica statistics (the all_reduce of counts/sums at
+  dino_pqgo.py:418-419) happen automatically under GSPMD because the pixel
+  axis ``n`` is the sharded batch axis; an optional ``axis_name`` supports
+  explicit ``shard_map`` use.
+* Distances accumulate in fp32 with first-minimum argmin tie-break,
+  matching ``torch.argmin`` semantics for bit-identical assignments.
+* Dead-code restart/split use an explicit PRNG key and operate on the
+  global batch, fixing the reference's per-rank RNG divergence
+  (model/quantizer.py:83-91, noted as a latent race).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class PQConfig:
+    """Static quantizer configuration (mirrors cfg['model']['vq'],
+    config/pqgo_baseline.yaml:32-48)."""
+
+    num_pq: int = 64                 # M subspaces; 1 => plain VQ
+    num_codebook: int = 256          # K entries per subspace
+    embed_dim: int = 1024            # D = M * dsub
+    vq_type: str = "param"           # "param" | "ema"
+    beta: float = 0.25               # commitment loss weight
+    book: float = 1.0                # codebook loss weight (param type)
+    normalize: str = "l2"            # none | l2 | z_norm | z_trainable
+    use_weighted_sum: bool = False
+    use_gumbel: bool = False
+    use_restart: bool = False
+    use_split: bool = False
+    need_initialized: str = "none"   # none | kmeans | uni | normal | rand
+    pq_dropout: float = 0.0
+    decay: float = 0.99              # EMA decay
+    eps: float = 1.0e-5              # Laplace smoothing eps
+    jsd_ts: float = 1.0              # softmax temperature for distance prob
+
+    def __post_init__(self):
+        if self.embed_dim % self.num_pq != 0:
+            raise ValueError(
+                f"embed_dim {self.embed_dim} not divisible by num_pq {self.num_pq}"
+            )
+        if self.use_weighted_sum and self.normalize != "none":
+            raise ValueError("use_weighted_sum requires normalize='none'")
+        if self.use_gumbel and not self.use_weighted_sum:
+            # reference asserts the combination (dino_pqgo.py:503-504)
+            raise ValueError("use_gumbel requires use_weighted_sum")
+
+    @property
+    def sub_dim(self) -> int:
+        return self.embed_dim // self.num_pq
+
+
+def pq_init(key: jax.Array, cfg: PQConfig) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Initialize (params, state).
+
+    * param type: trainable ``codebook`` in params, uniform(-1/K, 1/K)
+      (dino_pqgo.py:492-493).
+    * ema type: codebook lives in state with ``weight_avg``/``count``
+      buffers (dino_pqgo.py:169-175).
+    """
+    M, K, d = cfg.num_pq, cfg.num_codebook, cfg.sub_dim
+    k_w, k_z = jax.random.split(key)
+    weight = jax.random.uniform(
+        k_w, (M, K, d), jnp.float32, minval=-1.0 / K, maxval=1.0 / K
+    )
+
+    params: Dict[str, Any] = {}
+    state: Dict[str, Any] = {
+        # cumulative usage counter (reference self.vq_count)
+        "vq_count": jnp.zeros((M, K), jnp.float32),
+        # one-shot init flag for need_initialized (0 = pending, 1 = done)
+        "initialized": jnp.array(
+            0 if cfg.need_initialized not in ("none",) else 1, jnp.int32
+        ),
+    }
+    if cfg.vq_type == "param":
+        params["codebook"] = weight
+    elif cfg.vq_type == "ema":
+        state["ema_weight"] = weight
+        state["ema_weight_avg"] = weight
+        state["ema_count"] = jnp.zeros((M, K), jnp.float32)
+    else:
+        raise ValueError(f"Unsupported vq_type {cfg.vq_type}")
+
+    if cfg.normalize == "z_trainable":
+        params["z_mean"] = jnp.zeros((M, d), jnp.float32)
+        params["z_log_var"] = jnp.zeros((M, d), jnp.float32)
+    return params, state
+
+
+def normalize_vectors(x: jnp.ndarray, mode: str, axis: int = -1) -> jnp.ndarray:
+    """`l2` / `z_norm` / `none` normalization (dino_pqgo.py:369-390).
+
+    Epsilon placement matches the reference exactly: l2 uses torch
+    F.normalize semantics (clamp norm to 1e-12); z_norm divides by
+    (std + 1e-5) with Bessel-corrected std (torch.std default).
+    """
+    if mode == "none":
+        return x
+    if mode == "l2":
+        norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+        return x / jnp.maximum(norm, 1e-12)
+    if mode == "z_norm":
+        mean = jnp.mean(x, axis=axis, keepdims=True)
+        n = x.shape[axis]
+        var = jnp.sum((x - mean) ** 2, axis=axis, keepdims=True) / max(n - 1, 1)
+        return (x - mean) / (jnp.sqrt(var) + 1e-5)
+    raise ValueError(f"Unsupported normalize mode {mode}")
+
+
+def pairwise_sqdist(z: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """Squared L2 distances for every subspace at once.
+
+    z: (n, M, d), codebook: (M, K, d) -> (n, M, K), fp32 accumulation.
+    Identity x^2 + c^2 - 2 x.c, same formulation as dino_pqgo.py:397-399
+    (required for bit-exact parity with the reference's argmin).
+    """
+    z = z.astype(jnp.float32)
+    codebook = codebook.astype(jnp.float32)
+    z_sq = jnp.sum(z * z, axis=-1)[:, :, None]            # (n, M, 1)
+    c_sq = jnp.sum(codebook * codebook, axis=-1)[None]    # (1, M, K)
+    # precision='highest' keeps the MXU in full-f32 mode: required for the
+    # bit-identical-assignment north star (TPU default would downcast to
+    # bf16 inputs and break argmin ties differently than the reference).
+    cross = jnp.einsum(
+        "nmd,mkd->nmk", z, codebook,
+        preferred_element_type=jnp.float32, precision="highest",
+    )
+    return z_sq + c_sq - 2.0 * cross
+
+
+def _gather_codewords(codebook: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """codebook: (M, K, d), indices: (n, M) -> (n, M, d)."""
+    return jnp.take_along_axis(
+        codebook.transpose(1, 0, 2),            # (K, M, d)
+        indices[..., None],                     # (n, M, 1)
+        axis=0,
+    )
+
+
+def _maybe_psum(x: jnp.ndarray, axis_name: Optional[str]) -> jnp.ndarray:
+    if axis_name is not None:
+        return jax.lax.psum(x, axis_name)
+    return x
+
+
+def ema_codebook_update(
+    state: Dict[str, Any],
+    count: jnp.ndarray,
+    vec_sum: jnp.ndarray,
+    cfg: PQConfig,
+) -> Dict[str, Any]:
+    """EMA weight update with Laplace smoothing (dino_pqgo.py:187-208)."""
+    decay, eps = cfg.decay, cfg.eps
+    ema_count = state["ema_count"] * decay + count * (1.0 - decay)
+    ema_weight_avg = state["ema_weight_avg"] * decay + vec_sum * (1.0 - decay)
+    n = jnp.sum(ema_count, axis=-1, keepdims=True)                      # (M, 1)
+    smoothed = (ema_count + eps) / (n + cfg.num_codebook * eps) * n      # (M, K)
+    weight = ema_weight_avg / smoothed[..., None]
+    return dict(
+        state,
+        ema_count=ema_count,
+        ema_weight_avg=ema_weight_avg,
+        ema_weight=weight,
+    )
+
+
+def _restart_dead_codes(
+    key: jax.Array,
+    codebook: jnp.ndarray,
+    count: jnp.ndarray,
+    z: jnp.ndarray,
+) -> jnp.ndarray:
+    """Replace dead entries (count==0) with random batch vectors.
+
+    Functional, static-shape version of prepare_restart/restart
+    (dino_pqgo.py:263-293).  Every replica computes the same result
+    (explicit key + global batch), unlike the reference where each DDP
+    rank restarted with different candidates.
+    """
+    M, K, d = codebook.shape
+    n = z.shape[0]
+    # draw K candidate pixels per subspace (with replacement if K > n)
+    cand_idx = jax.random.randint(key, (M, K), 0, n)
+    candidates = z[cand_idx]                                  # (M, K, M, d) -> no!
+    # z is (n, M, d): take pixel cand_idx[m, k] in subspace m
+    candidates = jnp.take_along_axis(
+        z.transpose(1, 0, 2),                                  # (M, n, d)
+        cand_idx[..., None],                                   # (M, K, 1)
+        axis=1,
+    )                                                          # (M, K, d)
+    dead = (count == 0)[..., None]                             # (M, K, 1)
+    return jnp.where(dead, candidates, codebook)
+
+
+def _split_codes(
+    key: jax.Array,
+    codebook: jnp.ndarray,
+    total_count: jnp.ndarray,
+    current_count: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split the most-used entries into dead slots (dino_pqgo.py:295-331).
+
+    Static-shape version: the j-th dead entry copies the j-th most used
+    entry plus noise; both get half the count.  Returns (codebook, count).
+    """
+    M, K, d = codebook.shape
+    dead = current_count == 0                                  # (M, K)
+    # rank of each dead slot among dead slots, 0-based
+    dead_rank = jnp.cumsum(dead.astype(jnp.int32), axis=-1) - 1
+    # entries sorted by descending total usage
+    order = jnp.argsort(-total_count, axis=-1)                 # (M, K)
+    src = jnp.take_along_axis(order, jnp.clip(dead_rank, 0, K - 1), axis=-1)
+    noise = 0.02 * jax.random.normal(key, codebook.shape, codebook.dtype)
+    src_weight = jnp.take_along_axis(codebook, src[..., None], axis=1)
+    src_count = jnp.take_along_axis(total_count, src, axis=-1)
+
+    new_codebook = jnp.where(dead[..., None], src_weight + noise, codebook)
+    # halve source counts: a source is any entry selected by some dead slot
+    n_dead = jnp.sum(dead, axis=-1, keepdims=True)             # (M, 1)
+    pos = jnp.argsort(order, axis=-1)                          # usage rank of each k
+    is_src = pos < n_dead
+    new_count = jnp.where(dead, src_count / 2.0, total_count)
+    new_count = jnp.where(is_src, new_count / 2.0, new_count)
+    # subtract noise from the split sources, like the reference
+    new_codebook = jnp.where(is_src[..., None], new_codebook - noise, new_codebook)
+    return new_codebook, new_count
+
+
+def pq_forward(
+    z: jnp.ndarray,
+    params: Dict[str, Any],
+    state: Dict[str, Any],
+    cfg: PQConfig,
+    *,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, Any], Dict[str, Any]]:
+    """Quantize features in all M subspaces.
+
+    z: (..., D) with D = M * dsub (typically (b, h, w, D) NHWC).
+
+    Returns ``(z_q, indices, aux, new_state)`` where z_q has the shape of
+    ``z`` (straight-through in training), indices is (..., M) int32, and
+    aux carries losses/telemetry:
+      vq-loss, codebook-usage, codebook-sum, jsd (ema), entropy (ema),
+      distance_prob (..., M, K).
+
+    Mirrors Codebook.forward / EMACodebook.forward + ProductQuantizerWrapper
+    (dino_pqgo.py:333-457,579-776) with subspace-averaged outputs.
+    """
+    M, K, d = cfg.num_pq, cfg.num_codebook, cfg.sub_dim
+    lead_shape = z.shape[:-1]
+    zf = z.reshape(-1, M, d).astype(jnp.float32)   # chunk channels into M groups
+    n = zf.shape[0]
+
+    codebook = params["codebook"] if cfg.vq_type == "param" else state["ema_weight"]
+
+    # ---- normalization (dino_pqgo.py:369-390) ----
+    if cfg.normalize == "z_trainable":
+        z_mean = params["z_mean"][None]                     # (1, M, d)
+        z_std = jnp.sqrt(jnp.exp(params["z_log_var"]))[None]
+        z_norm = (zf - z_mean) / (z_std + 1e-5)
+        c_mean = jnp.mean(codebook, axis=1, keepdims=True)  # over K, per dim
+        c_var = jnp.sum((codebook - c_mean) ** 2, axis=1, keepdims=True) / max(K - 1, 1)
+        codebook_norm = (codebook - c_mean) / (jnp.sqrt(c_var) + 1e-5)
+    else:
+        z_norm = normalize_vectors(zf, cfg.normalize)
+        codebook_norm = normalize_vectors(codebook, cfg.normalize)
+
+    # ---- distances + assignment ----
+    dist = pairwise_sqdist(z_norm, codebook_norm)           # (n, M, K) fp32
+
+    if cfg.pq_dropout > 0.0 and training:
+        if rng is None:
+            raise ValueError("pq_dropout requires rng")
+        rng, k_drop = jax.random.split(rng)
+        keep = jax.random.uniform(k_drop, (M, K)) > cfg.pq_dropout
+        # ensure at least the first entry stays alive per subspace
+        keep = keep.at[:, 0].set(True)
+        dist = jnp.where(keep[None], dist, jnp.inf)
+
+    indices = jnp.argmin(dist, axis=-1).astype(jnp.int32)   # (n, M); first-min ties
+    distance_prob = jax.nn.softmax(-dist / cfg.jsd_ts, axis=-1)
+
+    if cfg.use_weighted_sum:
+        z_q = jnp.einsum(
+            "nmk,mkd->nmd", distance_prob, codebook_norm,
+            preferred_element_type=jnp.float32,
+        )
+    elif cfg.use_gumbel:
+        if rng is None:
+            raise ValueError("use_gumbel requires rng")
+        rng, k_g = jax.random.split(rng)
+        g = jax.random.gumbel(k_g, dist.shape)
+        indices = jnp.argmax(-dist + g, axis=-1).astype(jnp.int32)
+        z_q = _gather_codewords(codebook, indices)
+    else:
+        # raw (unnormalized) codebook gather, as in dino_pqgo.py:409,665
+        z_q = _gather_codewords(codebook, indices)
+
+    aux: Dict[str, Any] = {}
+    new_state = dict(state)
+
+    # ---- training statistics + EMA / restart / split ----
+    if training:
+        one_hot = jax.nn.one_hot(indices, K, dtype=jnp.float32)     # (n, M, K)
+        count = _maybe_psum(jnp.sum(one_hot, axis=0), axis_name)    # (M, K)
+        new_state["vq_count"] = state["vq_count"] + count
+        usage = jnp.mean(jnp.sum((count > 0).astype(jnp.float32), axis=-1) / K)
+        aux["codebook-usage"] = usage
+
+        if cfg.vq_type == "ema":
+            # EMA sums use the *unnormalized* z (dino_pqgo.py:417)
+            vec_sum = _maybe_psum(
+                jnp.einsum("nmk,nmd->mkd", one_hot, zf,
+                           preferred_element_type=jnp.float32,
+                           precision="highest"),
+                axis_name,
+            )
+            new_state = ema_codebook_update(new_state, count, vec_sum, cfg)
+            if cfg.use_restart:
+                if rng is None:
+                    raise ValueError("use_restart requires rng")
+                rng, k_r = jax.random.split(rng)
+                restarted = _restart_dead_codes(
+                    k_r, new_state["ema_weight"], count, zf
+                )
+                any_dead = jnp.any(count == 0)
+                new_state["ema_weight"] = restarted
+                # reference resets avg to weight and count to 0 on restart
+                new_state["ema_weight_avg"] = jnp.where(
+                    any_dead, restarted, new_state["ema_weight_avg"]
+                )
+                new_state["ema_count"] = jnp.where(
+                    any_dead, jnp.zeros_like(new_state["ema_count"]),
+                    new_state["ema_count"],
+                )
+            if cfg.use_split:
+                if rng is None:
+                    raise ValueError("use_split requires rng")
+                rng, k_s = jax.random.split(rng)
+                new_w, new_c = _split_codes(
+                    k_s, new_state["ema_weight"], new_state["ema_count"], count
+                )
+                new_state["ema_weight"] = new_w
+                new_state["ema_count"] = new_c
+        elif cfg.use_restart:
+            if rng is None:
+                raise ValueError("use_restart requires rng")
+            rng, k_r = jax.random.split(rng)
+            # param-type restart rewrites the (trainable) codebook; exposed
+            # via aux so the trainer can apply it out-of-band if enabled.
+            aux["restarted-codebook"] = _restart_dead_codes(
+                k_r, codebook, count, z_norm
+            )
+
+    # ---- losses (dino_pqgo.py:440-444, 684-690) ----
+    sg = jax.lax.stop_gradient
+    commitment = jnp.mean((z_norm - sg(z_q)) ** 2)
+    if cfg.vq_type == "param":
+        codebook_loss = jnp.mean((z_q - sg(z_norm)) ** 2)
+        aux["vq-loss"] = cfg.book * codebook_loss + cfg.beta * commitment
+    else:
+        aux["vq-loss"] = cfg.beta * commitment
+
+    if not cfg.use_weighted_sum:
+        z_q = z_norm + sg(z_q - z_norm)     # straight-through estimator
+
+    # reference sums |weight| per subspace then averages over subspaces
+    # (dino_pqgo.py:450 + ProductQuantizerWrapper averaging :771-772)
+    aux["codebook-sum"] = jnp.sum(jnp.abs(codebook)) / M
+    aux["distance_prob"] = distance_prob.reshape(*lead_shape, M, K)
+
+    z_q = z_q.reshape(*lead_shape, M * d)
+    indices = indices.reshape(*lead_shape, M)
+    return z_q, indices, aux, new_state
+
+
+def ema_jsd_entropy(
+    prob_a: jnp.ndarray, prob_b: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """JSD + negative-entropy telemetry between two distance-prob chunks,
+    averaged over subspaces (EMACodebook path, dino_pqgo.py:452-455).
+
+    prob_*: (..., M, K).  Vectorized over M (no Python loop): each
+    subspace gets the reference's batchmean-KL JSD and batch-entropy,
+    then results are averaged over subspaces as ProductQuantizerWrapper
+    does (dino_pqgo.py:762-772).
+    """
+    pa = prob_a.reshape(-1, prob_a.shape[-2], prob_a.shape[-1])  # (n, M, K)
+    pb = prob_b.reshape(-1, prob_b.shape[-2], prob_b.shape[-1])
+
+    def kl_batchmean(log_input, p_target):
+        # sum over K of p * (log p - log_input), mean over n
+        log_t = jnp.log(p_target + 1e-6)
+        return jnp.mean(jnp.sum(p_target * (log_t - log_input), axis=-1), axis=0)
+
+    log_m = jnp.log(0.5 * (pa + pb) + 1e-6)
+    jsd_per_m = 0.5 * (kl_batchmean(log_m, pa) + kl_batchmean(log_m, pb))  # (M,)
+    jsd = jnp.mean(jsd_per_m)
+
+    avg_p = jnp.mean(pa, axis=0)                                   # (M, K)
+    ent_per_m = jnp.sum(-avg_p * jnp.log(avg_p + 1e-8), axis=-1)   # (M,)
+    ent = jnp.mean(-ent_per_m)   # EntropyLoss returns NEGATIVE entropy
+    return jsd, ent

@@ -1,0 +1,79 @@
+import textwrap
+
+import pytest
+
+from equss_tpu.core.config import (
+    load_config,
+    override_config_by_cli,
+    resolve_config,
+    prepare_config,
+)
+
+
+@pytest.fixture
+def cfg_file(tmp_path):
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        textwrap.dedent(
+            """
+            dataset_name: "cocostuff27"
+            num_classes: 27
+            wandb:
+              tags_dataset: ${dataset_name}
+              name: "run-${dataset_name}"
+            model:
+              vq:
+                num_pq: [64]
+                embed_dims: [1024]
+                beta: 0.25
+            dataset:
+              train:
+                dataset_name: ${dataset_name}
+                res: 224
+            """
+        )
+    )
+    return str(p)
+
+
+def test_load_and_resolve(cfg_file):
+    cfg = resolve_config(load_config(cfg_file))
+    assert cfg["wandb"]["tags_dataset"] == "cocostuff27"
+    assert cfg["wandb"]["name"] == "run-cocostuff27"
+    assert cfg["dataset"]["train"]["dataset_name"] == "cocostuff27"
+    assert cfg["model"]["vq"]["num_pq"] == [64]
+
+
+def test_cli_override_types(cfg_file):
+    cfg = load_config(cfg_file)
+    cfg = override_config_by_cli(
+        cfg,
+        [
+            "num_classes=19",
+            "model.vq.beta=0.5",
+            "dataset_name=cityscapes",
+            "model.vq.num_pq=[32]",
+            "new.key=true",
+        ],
+    )
+    cfg = resolve_config(cfg)
+    assert cfg["num_classes"] == 19
+    assert cfg["model"]["vq"]["beta"] == 0.5
+    assert cfg["wandb"]["tags_dataset"] == "cityscapes"
+    assert cfg["model"]["vq"]["num_pq"] == [32]
+    assert cfg["new"]["key"] is True
+
+
+def test_prepare_config(cfg_file):
+    cfg, args = prepare_config(["--config", cfg_file, "num_classes=3"])
+    assert cfg["num_classes"] == 3
+    assert cfg["debug"] is False
+
+
+def test_reference_config_parses():
+    """Every YAML shipped with the reference parses + resolves unchanged."""
+    import glob
+
+    for path in glob.glob("/root/reference/config/**/*.yaml", recursive=True):
+        cfg = resolve_config(load_config(path))
+        assert isinstance(cfg, dict) and cfg

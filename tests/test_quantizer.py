@@ -1,0 +1,223 @@
+"""Quantizer ops vs. a PyTorch oracle.
+
+The oracle re-derives the published VQ/PQ math (pairwise L2 via
+x^2+c^2-2xc^T, first-min argmin, straight-through, EMA with Laplace
+smoothing) directly with torch ops, and the JAX implementation must match
+to tight tolerance — including bit-identical codeword assignments, the
+north-star parity requirement (BASELINE.md)."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from equss_tpu.ops.quantizer import (
+    PQConfig,
+    pq_init,
+    pq_forward,
+    pairwise_sqdist,
+    normalize_vectors,
+    ema_codebook_update,
+    ema_jsd_entropy,
+)
+
+
+def torch_normalize(x, mode):
+    if mode == "none":
+        return x
+    if mode == "l2":
+        return F.normalize(x, dim=-1)
+    if mode == "z_norm":
+        std, mean = torch.std_mean(x, dim=-1, keepdim=True)
+        return (x - mean) / (std + 1e-5)
+    raise ValueError(mode)
+
+
+def oracle_assign(z, codebook, mode):
+    """z: (n, M, d), codebook: (M, K, d) -> indices (n, M), dist (n, M, K)."""
+    zn = torch_normalize(z, mode)
+    cn = torch_normalize(codebook, mode)
+    d = (
+        (zn**2).sum(-1).unsqueeze(-1)
+        + (cn**2).sum(-1).unsqueeze(0)
+        - 2 * torch.einsum("nmd,mkd->nmk", zn, cn)
+    )
+    return d.argmin(-1), d, zn, cn
+
+
+@pytest.mark.parametrize("mode", ["none", "l2", "z_norm"])
+def test_assignment_bit_identical(mode):
+    rng = np.random.RandomState(0)
+    n, M, K, d = 97, 4, 16, 8
+    z = rng.randn(n, M, d).astype(np.float32)
+    cb = rng.randn(M, K, d).astype(np.float32)
+
+    idx_t, dist_t, _, _ = oracle_assign(torch.from_numpy(z), torch.from_numpy(cb), mode)
+
+    zj = normalize_vectors(jnp.asarray(z), mode)
+    cj = normalize_vectors(jnp.asarray(cb), mode)
+    dist_j = pairwise_sqdist(zj, cj)
+    idx_j = jnp.argmin(dist_j, axis=-1)
+
+    np.testing.assert_allclose(np.asarray(dist_j), dist_t.numpy(), rtol=1e-5, atol=1e-5)
+    # bit-identical assignments (north star)
+    np.testing.assert_array_equal(np.asarray(idx_j), idx_t.numpy())
+
+
+@pytest.mark.parametrize("mode", ["none", "l2", "z_norm"])
+def test_param_forward_losses(mode):
+    cfg = PQConfig(num_pq=4, num_codebook=16, embed_dim=32, vq_type="param",
+                   normalize=mode, beta=0.25, book=1.0)
+    key = jax.random.PRNGKey(0)
+    params, state = pq_init(key, cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 5, 32))
+
+    z_q, idx, aux, new_state = pq_forward(z, params, state, cfg, training=True,
+                                          rng=jax.random.PRNGKey(2))
+    assert z_q.shape == z.shape
+    assert idx.shape == (2, 5, 5, 4)
+
+    # torch oracle for the losses
+    zt = torch.from_numpy(np.asarray(z)).reshape(-1, 4, 8)
+    cbt = torch.from_numpy(np.asarray(params["codebook"]))
+    idx_t, _, zn_t, _ = oracle_assign(zt, cbt, mode)
+    z_q_t = torch.stack([cbt[m][idx_t[:, m]] for m in range(4)], dim=1)
+    commitment = F.mse_loss(zn_t, z_q_t)
+    codebook_l = F.mse_loss(z_q_t, zn_t)
+    expected = 1.0 * codebook_l + 0.25 * commitment
+    np.testing.assert_allclose(float(aux["vq-loss"]), float(expected), rtol=1e-5)
+
+    # straight-through: value equals gathered codeword reshaped? No —
+    # value equals z_norm + (z_q - z_norm) = raw codeword values.
+    np.testing.assert_allclose(
+        np.asarray(z_q).reshape(-1, 4, 8), z_q_t.numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_ste_gradient_identity():
+    """d z_q / d z == d z_norm / d z for the straight-through path."""
+    cfg = PQConfig(num_pq=2, num_codebook=8, embed_dim=8, vq_type="param",
+                   normalize="none")
+    params, state = pq_init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2, 8))
+
+    def f(z):
+        z_q, _, _, _ = pq_forward(z, params, state, cfg, training=False)
+        return jnp.sum(z_q)
+
+    g = jax.grad(f)(z)
+    np.testing.assert_allclose(np.asarray(g), np.ones_like(g), atol=1e-6)
+
+
+def test_ema_update_matches_oracle():
+    cfg = PQConfig(num_pq=2, num_codebook=8, embed_dim=16, vq_type="ema",
+                   normalize="none", decay=0.99, eps=1e-5)
+    params, state = pq_init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 3, 16))
+
+    z_q, idx, aux, new_state = pq_forward(z, params, state, cfg, training=True,
+                                          rng=jax.random.PRNGKey(2))
+
+    # torch oracle
+    M, K, d = 2, 8, 8
+    zt = torch.from_numpy(np.asarray(z)).reshape(-1, M, d)
+    w = torch.from_numpy(np.asarray(state["ema_weight"]))
+    idx_t, _, _, _ = oracle_assign(zt, w, "none")
+    np.testing.assert_array_equal(np.asarray(idx).reshape(-1, M), idx_t.numpy())
+
+    for m in range(M):
+        one_hot = F.one_hot(idx_t[:, m], K).float()
+        count = one_hot.sum(0)
+        vec_sum = one_hot.t() @ zt[:, m]
+        ema_count = 0.99 * torch.zeros(K) + 0.01 * count
+        ema_avg = 0.99 * w[m] + 0.01 * vec_sum
+        n = ema_count.sum()
+        smoothed = (ema_count + 1e-5) / (n + K * 1e-5) * n
+        w_new = ema_avg / smoothed.unsqueeze(1)
+        np.testing.assert_allclose(
+            np.asarray(new_state["ema_weight"][m]), w_new.numpy(), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state["ema_count"][m]), ema_count.numpy(), rtol=1e-5
+        )
+
+
+def test_weighted_sum_path():
+    cfg = PQConfig(num_pq=2, num_codebook=8, embed_dim=16, vq_type="param",
+                   normalize="none", use_weighted_sum=True, jsd_ts=0.5)
+    params, state = pq_init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2, 16))
+    z_q, idx, aux, _ = pq_forward(z, params, state, cfg, training=False)
+
+    prob = np.asarray(aux["distance_prob"]).reshape(-1, 2, 8)
+    cb = np.asarray(params["codebook"])
+    expected = np.einsum("nmk,mkd->nmd", prob, cb)
+    np.testing.assert_allclose(
+        np.asarray(z_q).reshape(-1, 2, 8), expected, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(prob.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_restart_replaces_dead_codes():
+    cfg = PQConfig(num_pq=1, num_codebook=8, embed_dim=4, vq_type="ema",
+                   normalize="none", use_restart=True)
+    params, state = pq_init(jax.random.PRNGKey(0), cfg)
+    # huge offset so only one codeword ever wins -> 7 dead codes
+    state = dict(state, ema_weight=state["ema_weight"].at[0, 0].set(1000.0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 2, 4)) + 1000.0
+
+    _, idx, _, new_state = pq_forward(z, params, state, cfg, training=True,
+                                      rng=jax.random.PRNGKey(2))
+    assert np.all(np.asarray(idx) == 0)
+    # dead entries must now be near batch vectors (~1000), not ~uniform(0)
+    w = np.asarray(new_state["ema_weight"])
+    assert np.all(np.abs(w[0, 1:]) > 100.0)
+
+
+def test_jsd_entropy_match_torch():
+    rng = np.random.RandomState(3)
+    n, M, K = 50, 3, 7
+    a = rng.rand(n, M, K).astype(np.float32)
+    b = rng.rand(n, M, K).astype(np.float32)
+    a /= a.sum(-1, keepdims=True)
+    b /= b.sum(-1, keepdims=True)
+
+    jsd_j, ent_j = ema_jsd_entropy(jnp.asarray(a), jnp.asarray(b))
+
+    kl = torch.nn.KLDivLoss(reduction="batchmean", log_target=True)
+    jsd_ref, ent_ref = 0.0, 0.0
+    for m in range(M):
+        p = torch.from_numpy(a[:, m])
+        q = torch.from_numpy(b[:, m])
+        mm = (0.5 * (p + q) + 1e-6).log()
+        jsd_ref += 0.5 * (kl(mm, (p + 1e-6).log()) + kl(mm, (q + 1e-6).log()))
+        avg_p = p.mean(0)
+        ent_ref += -(-avg_p * (avg_p + 1e-8).log()).sum()
+    np.testing.assert_allclose(float(jsd_j), float(jsd_ref) / M, rtol=1e-4)
+    np.testing.assert_allclose(float(ent_j), float(ent_ref) / M, rtol=1e-4)
+
+
+def test_sharded_stats_match_single_device():
+    """VQ statistics under a data-sharded mesh == single-device run."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg = PQConfig(num_pq=2, num_codebook=8, embed_dim=16, vq_type="ema",
+                   normalize="l2")
+    params, state = pq_init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (8, 2, 2, 16))
+
+    step = jax.jit(lambda z: pq_forward(z, params, state, cfg, training=True,
+                                        rng=jax.random.PRNGKey(2)))
+    _, idx_ref, _, st_ref = step(z)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    z_sh = jax.device_put(z, NamedSharding(mesh, P("data")))
+    _, idx_sh, _, st_sh = step(z_sh)
+
+    np.testing.assert_array_equal(np.asarray(idx_ref), np.asarray(idx_sh))
+    np.testing.assert_allclose(
+        np.asarray(st_ref["ema_weight"]), np.asarray(st_sh["ema_weight"]),
+        rtol=1e-4, atol=1e-5,
+    )
