@@ -1,0 +1,208 @@
+"""EQUSS: frozen DINO ViT -> expansion head -> product quantization.
+
+The flagship model, equivalent of DIONPQGO (/root/reference/model/
+dino_pqgo.py:15-154) re-designed functionally: parameters and quantizer
+state are explicit pytrees threaded through a pure ``apply``, so the
+whole step jits/pjits cleanly.  NHWC throughout.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from equss_tpu.losses.stego import StegoLossConfig, stego_loss
+from equss_tpu.models.heads import ExpansionHead, dropout2d
+from equss_tpu.models.vit import VisionTransformer, make_vit_config
+from equss_tpu.ops.quantizer import (
+    PQConfig,
+    ema_jsd_entropy,
+    pq_forward,
+    pq_init,
+)
+
+
+def pq_config_from_dict(vq: Dict[str, Any]) -> PQConfig:
+    """cfg['model']['vq'] (config/pqgo_baseline.yaml:32-48) -> PQConfig."""
+    num_pq = vq.get("num_pq", 1)
+    if isinstance(num_pq, (list, tuple)):
+        num_pq = num_pq[0]
+    return PQConfig(
+        num_pq=num_pq,
+        num_codebook=vq["num_codebooks"][0],
+        embed_dim=vq["embed_dims"][0],
+        vq_type=vq.get("vq_type", "param"),
+        beta=vq.get("beta", 0.25),
+        book=vq.get("book", 1.0),
+        normalize=vq.get("normalize", "none"),
+        use_weighted_sum=vq.get("use_weighted_sum", False),
+        use_gumbel=vq.get("use_gumbel", False),
+        use_restart=vq.get("use_restart", False),
+        use_split=vq.get("use_split", False),
+        need_initialized=vq.get("need_initialized", "none"),
+        pq_dropout=vq.get("pq_dropout", 0.0),
+        decay=vq.get("decay", 0.99),
+        eps=vq.get("eps", 1e-5),
+        jsd_ts=vq.get("jsd_ts", 1.0),
+    )
+
+
+def stego_config_from_dict(stego: Dict[str, Any]) -> StegoLossConfig:
+    return StegoLossConfig(
+        pos_intra_weight=stego["pos_intra_weight"],
+        pos_inter_weight=stego["pos_inter_weight"],
+        neg_inter_weight=stego["neg_inter_weight"],
+        pos_intra_shift=stego["pos_intra_shift"],
+        pos_inter_shift=stego["pos_inter_shift"],
+        neg_inter_shift=stego["neg_inter_shift"],
+        zero_clamp=stego.get("zero_clamp", True),
+        pointwise=stego.get("pointwise", True),
+        stabilize=stego.get("stabilize", False),
+        feature_samples=stego.get("feature_samples", 11),
+        neg_samples=stego.get("neg_samples", 5),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class EQUSSConfig:
+    model_type: str = "vit_small"
+    patch_size: int = 8
+    hidden_dim: int = 1024
+    dropout: bool = True
+    drop_prob: float = 0.1
+    freeze_backbone: bool = True
+    backbone_dtype: Any = jnp.float32
+    pq: PQConfig = dataclasses.field(default_factory=PQConfig)
+    stego: StegoLossConfig = dataclasses.field(default_factory=StegoLossConfig)
+
+    @staticmethod
+    def from_config(cfg: Dict[str, Any], dtype=jnp.float32) -> "EQUSSConfig":
+        m = cfg["model"]
+        pre = m["pretrained"]
+        return EQUSSConfig(
+            model_type=pre["model_type"],
+            patch_size=pre["dino_patch_size"],
+            hidden_dim=m["vq"]["embed_dims"][0],
+            dropout=pre.get("dropout", True),
+            drop_prob=pre.get("drop_prob", 0.1),
+            freeze_backbone=pre.get("freeze_backbone", True),
+            backbone_dtype=dtype,
+            pq=pq_config_from_dict(m["vq"]),
+            stego=stego_config_from_dict(cfg["loss"]["stego"]),
+        )
+
+
+class EQUSS:
+    """Pure-functional model bundle (dino_pqgo.py:15-154 equivalent).
+
+    params = {'backbone': ..., 'head': ..., 'pq': ...}
+    state  = {'pq': ...}
+    """
+
+    def __init__(self, cfg: EQUSSConfig):
+        self.cfg = cfg
+        self.vit_cfg = make_vit_config(
+            cfg.model_type, cfg.patch_size, dtype=cfg.backbone_dtype
+        )
+        self.backbone = VisionTransformer(self.vit_cfg)
+        self.head = ExpansionHead(cfg.hidden_dim)
+        self.feat_dim = self.vit_cfg.embed_dim
+
+    # -- init ---------------------------------------------------------------
+    def init(
+        self,
+        key: jax.Array,
+        img_hw: Tuple[int, int] = (224, 224),
+        backbone_params: Optional[Dict[str, Any]] = None,
+    ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        k_bb, k_head, k_pq = jax.random.split(key, 3)
+        dummy = jnp.zeros((1, *img_hw, 3), jnp.float32)
+        if backbone_params is None:
+            backbone_params = self.backbone.init(k_bb, dummy)["params"]
+        gh, gw = img_hw[0] // self.cfg.patch_size, img_hw[1] // self.cfg.patch_size
+        head_params = self.head.init(
+            k_head, jnp.zeros((1, gh, gw, self.feat_dim))
+        )["params"]
+        pq_params, pq_state = pq_init(k_pq, self.cfg.pq)
+        params = {"backbone": backbone_params, "head": head_params,
+                  "pq": pq_params}
+        state = {"pq": pq_state}
+        return params, state
+
+    # -- featurizer (dino_featurizer.py:64-83) -------------------------------
+    def features(self, params: Dict[str, Any], img: jnp.ndarray) -> jnp.ndarray:
+        feat = self.backbone.apply({"params": params["backbone"]}, img)["dense"]
+        feat = feat.astype(jnp.float32)
+        if self.cfg.freeze_backbone:
+            feat = jax.lax.stop_gradient(feat)
+        return feat
+
+    def encode(self, params: Dict[str, Any], feat: jnp.ndarray) -> jnp.ndarray:
+        """Expansion head: cluster1 + cluster2 (dino_pqgo.py:127-128)."""
+        return self.head.apply({"params": params["head"]}, feat)
+
+    # -- full forward ---------------------------------------------------------
+    def apply(
+        self,
+        params: Dict[str, Any],
+        state: Dict[str, Any],
+        img: jnp.ndarray,
+        img_pos: Optional[jnp.ndarray] = None,
+        *,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        """Forward (dino_pqgo.py:114-154).
+
+        Returns (out, new_state); out holds code, z_q, indices, aux
+        (vq-loss, stego-loss, codebook telemetry, distance_prob).
+        """
+        cfg = self.cfg
+        if training and rng is None:
+            raise ValueError("training forward requires rng")
+        k_drop = k_drop_pos = k_pq = k_stego = None
+        if rng is not None:
+            k_drop, k_drop_pos, k_pq, k_stego = jax.random.split(rng, 4)
+
+        feat = self.features(params, img)
+        if training and cfg.dropout:
+            feat = dropout2d(k_drop, feat, cfg.drop_prob)
+        code = self.encode(params, feat)
+
+        feat_pos = code_pos = None
+        if training:
+            if img_pos is None:
+                raise ValueError("training forward requires img_pos (kNN positive)")
+            feat_pos = self.features(params, img_pos)
+            if cfg.dropout:
+                feat_pos = dropout2d(k_drop_pos, feat_pos, cfg.drop_prob)
+            code_pos = self.encode(params, feat_pos)
+
+        z_q, indices, aux, pq_state = pq_forward(
+            code, params["pq"], state["pq"], cfg.pq,
+            training=training, rng=k_pq,
+        )
+
+        if training:
+            aux["stego-loss"] = stego_loss(
+                k_stego, feat, feat_pos, code, code_pos, cfg.stego
+            )
+            if cfg.pq.vq_type == "ema":
+                # telemetry on batch halves (dino_pqgo.py:452-455)
+                prob = aux["distance_prob"]
+                flat = prob.reshape(-1, prob.shape[-2], prob.shape[-1])
+                half = flat.shape[0] // 2
+                jsd, ent = ema_jsd_entropy(flat[:half], flat[half: 2 * half])
+                aux["jsd"] = jsd
+                aux["entropy"] = ent
+
+        out = {
+            "feat": feat,
+            "code": code,
+            "z_q": z_q,
+            "indices": indices,
+            "aux": aux,
+        }
+        return out, {"pq": pq_state}

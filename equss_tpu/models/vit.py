@@ -1,0 +1,287 @@
+"""DINO Vision Transformer in Flax, TPU-native.
+
+Re-implements the capability of the reference's timm-style ViT
+(/root/reference/model/dino/vision_transformer.py:136-279) as a Flax
+module: patch conv embedding, CLS token, bicubic pos-embed interpolation
+for arbitrary resolutions (:178-198), pre-LN blocks with qkv-bias
+attention, and ``get_intermediate_feat``-style dense token outputs
+(:227-239).
+
+TPU notes:
+* NHWC images in, (b, h/p, w/p, C) dense features out — channel-last
+  throughout, the native TPU layout.
+* ``dtype`` selects the activation/compute dtype (bf16 for speed on the
+  MXU); parameters stay fp32.  Attention logits/softmax accumulate in
+  fp32 via preferred_element_type.
+* The backbone is frozen in EQUSS (dino_featurizer.py:18-21), so the
+  caller wraps it in ``jax.lax.stop_gradient`` / omits its params from
+  the optimizer — there is no trainable/eval mode state here at all.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from equss_tpu.ops.resize import resize2d
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 8
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    ln_eps: float = 1e-6
+    pos_grid: int = 28          # sqrt(num_patches) the pos-embed was trained at
+    dtype: Any = jnp.float32    # compute dtype (bf16 on TPU for speed)
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+
+VIT_PRESETS = {
+    # (embed_dim, depth, num_heads) — vision_transformer.py:261-279
+    "vit_tiny": (192, 12, 3),
+    "vit_small": (384, 12, 6),
+    "vit_base": (768, 12, 12),
+    # CI/testing-only micro backbone (not in the reference)
+    "vit_micro": (32, 2, 2),
+}
+
+
+def make_vit_config(model_type: str, patch_size: int, dtype=jnp.float32,
+                    img_size: int = 224) -> ViTConfig:
+    if model_type not in VIT_PRESETS:
+        raise ValueError(f"Unknown arch {model_type}")
+    dim, depth, heads = VIT_PRESETS[model_type]
+    return ViTConfig(
+        patch_size=patch_size, embed_dim=dim, depth=depth, num_heads=heads,
+        pos_grid=img_size // patch_size, dtype=dtype,
+    )
+
+
+class Attention(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        B, N, C = x.shape
+        qkv = nn.Dense(3 * C, use_bias=cfg.qkv_bias, dtype=cfg.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, cfg.num_heads, cfg.head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]     # (B, N, H, hd)
+        scale = cfg.head_dim ** -0.5
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(cfg.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(B, N, C).astype(cfg.dtype)
+        out = nn.Dense(C, dtype=cfg.dtype, name="proj")(out)
+        return out, attn
+
+
+class Mlp(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        hidden = int(cfg.embed_dim * cfg.mlp_ratio)
+        x = nn.Dense(hidden, dtype=cfg.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)      # torch nn.GELU is exact erf
+        x = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name="fc2")(x)
+        return x
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        y, attn = Attention(cfg, name="attn")(
+            nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm1")(x)
+        )
+        x = x + y
+        x = x + Mlp(cfg, name="mlp")(
+            nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm2")(x)
+        )
+        return x, attn
+
+
+class VisionTransformer(nn.Module):
+    """DINO ViT.  ``__call__(img)`` -> dict with dense features.
+
+    img: (b, H, W, 3) NHWC; H, W divisible by patch_size.
+    """
+
+    cfg: ViTConfig
+
+    def _interpolate_pos_embed(self, pos_embed: jnp.ndarray,
+                               gh: int, gw: int) -> jnp.ndarray:
+        """Bicubic pos-embed interpolation, matching
+        vision_transformer.py:178-198 (incl. the +0.1 scale fudge)."""
+        n = pos_embed.shape[1] - 1
+        g0 = int(math.sqrt(n))
+        if gh == g0 and gw == g0:
+            return pos_embed
+        cls_pe = pos_embed[:, :1]
+        patch_pe = pos_embed[:, 1:].reshape(1, g0, g0, -1)
+        # reference: w0, h0 = w0+0.1, h0+0.1; scale_factor = w0/sqrt(N)
+        sf = ((gh + 0.1) / g0, (gw + 0.1) / g0)
+        patch_pe = resize2d(patch_pe, (gh, gw), method="bicubic",
+                            scale_factor=sf)
+        patch_pe = patch_pe.reshape(1, gh * gw, -1)
+        return jnp.concatenate([cls_pe, patch_pe], axis=1)
+
+    @nn.compact
+    def __call__(
+        self,
+        img: jnp.ndarray,
+        *,
+        n_last: int = 1,
+        want_attn: bool = False,
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        b, H, W, _ = img.shape
+        gh, gw = H // cfg.patch_size, W // cfg.patch_size
+
+        x = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dtype=cfg.dtype,
+            name="patch_embed",
+        )(img.astype(cfg.dtype))
+        x = x.reshape(b, gh * gw, cfg.embed_dim)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02),
+            (1, 1, cfg.embed_dim), jnp.float32,
+        )
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02),
+            (1, cfg.pos_grid * cfg.pos_grid + 1, cfg.embed_dim), jnp.float32,
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (b, 1, cfg.embed_dim)).astype(cfg.dtype), x],
+            axis=1,
+        )
+        x = x + self._interpolate_pos_embed(pos_embed, gh, gw).astype(cfg.dtype)
+
+        final_ln = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm")
+        feats: List[jnp.ndarray] = []
+        attns: List[jnp.ndarray] = []
+        for i in range(cfg.depth):
+            x, attn = Block(cfg, name=f"blocks_{i}")(x)
+            if cfg.depth - i <= n_last:
+                feats.append(final_ln(x))
+                if want_attn:
+                    attns.append(attn)
+
+        tokens = feats[-1]                                  # (b, 1+ghw, C)
+        dense = tokens[:, 1:, :].reshape(b, gh, gw, cfg.embed_dim)
+        out: Dict[str, Any] = {
+            "dense": dense,                                 # (b, gh, gw, C)
+            "cls": tokens[:, 0, :],
+            "tokens": tokens,
+            "intermediates": feats,
+        }
+        if want_attn:
+            out["attn"] = attns
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Torch DINO checkpoint -> Flax params converter
+# ---------------------------------------------------------------------------
+
+def convert_dino_torch_state(state_dict: Dict[str, Any], cfg: ViTConfig) -> Dict[str, Any]:
+    """Convert an official DINO torch state_dict (numpy-valued) into this
+    module's Flax param tree.
+
+    Accepts keys as produced by the FB checkpoints consumed at
+    dino_featurizer.py:38-51 ('patch_embed.proj.weight', 'blocks.0....').
+    Values may be torch tensors or numpy arrays.
+    """
+    import numpy as np
+
+    def get(name):
+        v = state_dict[name]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v)
+
+    def dense(prefix):
+        return {
+            "kernel": get(prefix + ".weight").T,   # torch (out,in) -> (in,out)
+            "bias": get(prefix + ".bias"),
+        }
+
+    def ln(prefix):
+        return {"scale": get(prefix + ".weight"), "bias": get(prefix + ".bias")}
+
+    params: Dict[str, Any] = {
+        "cls_token": get("cls_token"),
+        "pos_embed": get("pos_embed"),
+        "patch_embed": {
+            # torch conv (out,in,kh,kw) -> flax (kh,kw,in,out)
+            "kernel": get("patch_embed.proj.weight").transpose(2, 3, 1, 0),
+            "bias": get("patch_embed.proj.bias"),
+        },
+        "norm": ln("norm"),
+    }
+    for i in range(cfg.depth):
+        p = f"blocks.{i}"
+        params[f"blocks_{i}"] = {
+            "norm1": ln(f"{p}.norm1"),
+            "norm2": ln(f"{p}.norm2"),
+            "attn": {
+                "qkv": dense(f"{p}.attn.qkv"),
+                "proj": dense(f"{p}.attn.proj"),
+            },
+            "mlp": {
+                "fc1": dense(f"{p}.mlp.fc1"),
+                "fc2": dense(f"{p}.mlp.fc2"),
+            },
+        }
+    return jax.tree.map(jnp.asarray, params)
+
+
+def load_dino_backbone(
+    model_type: str,
+    patch_size: int,
+    pretrained_path: Optional[str] = None,
+    dtype=jnp.float32,
+) -> Tuple[VisionTransformer, Optional[Dict[str, Any]]]:
+    """Build the ViT and (optionally) load converted DINO weights.
+
+    The reference downloads from dl.fbaipublicfiles.com
+    (dino_featurizer.py:27-51); this framework converts a local ``.pth``
+    (no network egress in the build environment).  Returns
+    (module, params-or-None).
+    """
+    cfg = make_vit_config(model_type, patch_size, dtype=dtype)
+    module = VisionTransformer(cfg)
+    params = None
+    if pretrained_path is not None:
+        import torch
+
+        sd = torch.load(pretrained_path, map_location="cpu", weights_only=True)
+        if "teacher" in sd:
+            sd = sd["teacher"]
+            sd = {k.replace("module.", "").replace("backbone.", ""): v
+                  for k, v in sd.items()}
+        params = convert_dino_torch_state(sd, cfg)
+    return module, params

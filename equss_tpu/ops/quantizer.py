@@ -28,6 +28,7 @@ dino_pqgo.py:757-768):
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -82,24 +83,34 @@ def pq_init(key: jax.Array, cfg: PQConfig) -> Tuple[Dict[str, Any], Dict[str, An
     """
     M, K, d = cfg.num_pq, cfg.num_codebook, cfg.sub_dim
     k_w, k_z = jax.random.split(key)
-    weight = jax.random.uniform(
-        k_w, (M, K, d), jnp.float32, minval=-1.0 / K, maxval=1.0 / K
-    )
+    if cfg.need_initialized == "uni":
+        # xavier_uniform over each (K, d) codebook (dino_pqgo.py:357-359),
+        # applied eagerly at init instead of lazily at the first step
+        bound = math.sqrt(6.0 / (K + d))
+        weight = jax.random.uniform(k_w, (M, K, d), jnp.float32, -bound, bound)
+    elif cfg.need_initialized == "normal":
+        std = math.sqrt(2.0 / (K + d))
+        weight = std * jax.random.normal(k_w, (M, K, d), jnp.float32)
+    else:
+        # default uniform(-1/K, 1/K) (dino_pqgo.py:170,492-493); "kmeans"
+        # and "rand" are data-dependent — the trainer applies them on the
+        # first batch via ops.kmeans / restart before the training loop
+        weight = jax.random.uniform(
+            k_w, (M, K, d), jnp.float32, minval=-1.0 / K, maxval=1.0 / K
+        )
 
     params: Dict[str, Any] = {}
     state: Dict[str, Any] = {
         # cumulative usage counter (reference self.vq_count)
         "vq_count": jnp.zeros((M, K), jnp.float32),
-        # one-shot init flag for need_initialized (0 = pending, 1 = done)
-        "initialized": jnp.array(
-            0 if cfg.need_initialized not in ("none",) else 1, jnp.int32
-        ),
     }
     if cfg.vq_type == "param":
         params["codebook"] = weight
     elif cfg.vq_type == "ema":
         state["ema_weight"] = weight
-        state["ema_weight_avg"] = weight
+        # distinct buffer (not an alias): donated train-state pytrees must
+        # not contain the same buffer twice
+        state["ema_weight_avg"] = weight + jnp.zeros_like(weight)
         state["ema_count"] = jnp.zeros((M, K), jnp.float32)
     else:
         raise ValueError(f"Unsupported vq_type {cfg.vq_type}")

@@ -1,0 +1,64 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement of the reference's torch.distributed/NCCL layer
+(/root/reference/utils/dist_utils.py): instead of rank processes with
+explicit all_reduce calls, a ``jax.sharding.Mesh`` with a ``data`` axis
+carries the batch; GSPMD inserts the gradient psums, quantizer-statistic
+reductions (dino_pqgo.py:418-419) and confusion-matrix sums
+(metric.py:63) automatically because those contractions run over the
+globally-shaped batch axis.
+
+Multi-host: call ``init_distributed()`` (jax.distributed.initialize)
+before creating the mesh; ICI within a slice / DCN across slices are
+transparent under pjit.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (replaces dist_utils.set_dist:28-41).
+    No-op on a single host."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over all (or the first n) devices.
+
+    The reference is data-parallel only (SURVEY §2.4); the axis is named
+    so TP/PP extensions can add axes without touching call sites.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any],
+                axis_name: str = "data") -> Dict[str, Any]:
+    """Place a host batch dict onto the mesh, sharded along dim 0."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Fully replicate a pytree (params/state) across the mesh."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

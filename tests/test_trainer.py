@@ -1,0 +1,159 @@
+"""End-to-end trainer smoke tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from equss_tpu.data.synthetic import synthetic_batches
+from equss_tpu.parallel.mesh import make_mesh
+from equss_tpu.train.trainer import Trainer, TrainConfig
+
+# This CI box has a single CPU core: a full 8-way-sharded train step can
+# starve XLA's in-process collective rendezvous (40s timeout). Trainer
+# tests run on a 2-device mesh; 8-way sharding semantics are covered by
+# the cheaper test_quantizer.test_sharded_stats_match_single_device.
+def _trainer(cfg):
+    return Trainer(cfg, mesh=make_mesh(2))
+
+
+def tiny_cfg(vq_type="param", output_type="vq0", num_classes=4):
+    return {
+        "seed": 0,
+        "num_classes": num_classes,
+        "model": {
+            "pretrained": {
+                "model_type": "vit_micro",
+                "dino_patch_size": 8,
+                "freeze_backbone": True,
+                "dropout": True,
+                "drop_prob": 0.1,
+            },
+            "vq": {
+                "vq_type": vq_type,
+                "num_codebooks": [16],
+                "embed_dims": [64],
+                "beta": 0.25,
+                "book": 1.0,
+                "normalize": "l2" if vq_type == "param" else "none",
+                "need_initialized": "uni",
+                "num_pq": [8],
+                "decay": 0.99,
+                "eps": 1.0e-5,
+            },
+        },
+        "loss": {
+            "stego_weight": 1.0,
+            "vq_weight": 1.0,
+            "stego": {
+                "neg_inter_weight": 0.63, "pos_inter_weight": 0.25,
+                "pos_intra_weight": 0.67, "neg_inter_shift": 0.66,
+                "pos_inter_shift": 0.02, "pos_intra_shift": 0.08,
+                "zero_clamp": True, "pointwise": True, "stabilize": False,
+                "feature_samples": 5, "neg_samples": 2,
+            },
+        },
+        "optimizer": {
+            "model": {"name": "adam", "lr": 3.0e-4},
+            "cluster": {"name": "adam", "lr": 3.0e-3},
+            "linear": {"name": "adam", "lr": 3.0e-3},
+        },
+        "scheduler": {
+            "model": {"name": "constant"},
+            "cluster": {"name": "constant"},
+            "linear": {"name": "constant"},
+        },
+        "eval": {"output_type": output_type, "extra_classes": 0},
+        "train": {
+            "max_epochs": 1, "print_interval_iters": 2,
+            "valid_interval_iters": 4, "clip_grad": 10.0, "num_accum": 1,
+        },
+    }
+
+
+@pytest.mark.parametrize("vq_type,output_type", [
+    ("param", "vq0"), ("ema", "feat"),
+])
+def test_train_steps_update_and_finite(vq_type, output_type):
+    cfg = tiny_cfg(vq_type, output_type)
+    trainer = _trainer(cfg)
+    ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(32, 32))
+
+    head_before = jax.device_get(ts["params"]["head"])
+    pq_before = jax.device_get(
+        ts["params"]["pq"].get("codebook")
+        if vq_type == "param" else ts["model_state"]["pq"]["ema_weight"]
+    )
+
+    for batch in synthetic_batches(0, 3, batch_size=8, res=32):
+        ts, metrics = trainer.train_step(ts, batch)
+
+    m = {k: float(v) for k, v in metrics.items()}
+    assert np.isfinite(m["loss"]), m
+    assert np.isfinite(m["stego-loss"]) and np.isfinite(m["vq-loss"])
+    assert m["grad-norm"] > 0
+
+    head_after = jax.device_get(ts["params"]["head"])
+    diff = sum(
+        float(np.abs(a - b).sum())
+        for a, b in zip(jax.tree.leaves(head_before), jax.tree.leaves(head_after))
+    )
+    assert diff > 0, "head params did not update"
+
+    pq_after = jax.device_get(
+        ts["params"]["pq"].get("codebook")
+        if vq_type == "param" else ts["model_state"]["pq"]["ema_weight"]
+    )
+    assert float(np.abs(np.asarray(pq_before) - np.asarray(pq_after)).sum()) > 0, \
+        "codebook did not update"
+    assert int(ts["step"]) == 3
+
+
+def test_validation_metrics():
+    cfg = tiny_cfg()
+    trainer = _trainer(cfg)
+    ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(32, 32))
+    val = trainer.validate(
+        ts, synthetic_batches(1, 2, batch_size=8, res=32, with_pos=False))
+    for k in ["Cluster_mIoU", "Cluster_Accuracy", "Linear_mIoU",
+              "Linear_Accuracy"]:
+        assert 0.0 <= val[k] <= 100.0, val
+
+
+def test_fit_one_epoch_improves_probes():
+    """Cluster/linear probes should beat chance on the structured
+    synthetic data after one epoch (the 'cluster_baseline' minimum slice
+    of SURVEY §7.3, shrunk for CI)."""
+    cfg = tiny_cfg()
+    trainer = _trainer(cfg)
+    result = trainer.fit(
+        lambda epoch: synthetic_batches(42 + epoch, 12, batch_size=8, res=32),
+        lambda: synthetic_batches(7, 2, batch_size=8, res=32, with_pos=False),
+        img_hw=(32, 32),
+    )
+    best = result["best"]
+    # 4 classes, chance accuracy ~25%; structured labels are learnable
+    assert best["Linear_Accuracy"] > 30.0, best
+    assert best["Cluster_mIoU"] >= 0.0
+
+
+def test_grad_accumulation_matches_big_batch():
+    """num_accum=2 with half batches == one step with the full batch for
+    the deterministic parts of the update (optimizer state counting)."""
+    cfg = tiny_cfg()
+    cfg["train"]["num_accum"] = 2
+    trainer = _trainer(cfg)
+    ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(32, 32))
+    head0 = jax.device_get(ts["params"]["head"])
+    batches = list(synthetic_batches(0, 2, batch_size=4, res=32))
+    ts, _ = trainer.train_step(ts, batches[0])
+    # after 1 micro-step params must be unchanged (accumulating)
+    head1 = jax.device_get(ts["params"]["head"])
+    diff1 = sum(float(np.abs(a - b).sum()) for a, b in
+                zip(jax.tree.leaves(head0), jax.tree.leaves(head1)))
+    assert diff1 == 0.0
+    ts, _ = trainer.train_step(ts, batches[1])
+    head2 = jax.device_get(ts["params"]["head"])
+    diff2 = sum(float(np.abs(a - b).sum()) for a, b in
+                zip(jax.tree.leaves(head0), jax.tree.leaves(head2)))
+    assert diff2 > 0.0
