@@ -1,0 +1,71 @@
+"""Headline benchmark: dense ViT+PQ inference throughput (images/sec/chip).
+
+Matches BASELINE.json's metric: frozen DINO ViT-S/8 dense features at
+224x224 -> expansion head -> 64x256 product-quantizer assignment, the
+reference's hot inference path (dino_pqgo.py:114-154).  Backbone runs in
+bf16 on the MXU; PQ distances in f32 (bit-parity requirement).
+
+vs_baseline is measured throughput / 100 img/s — a generous estimate of
+an A100 running the same torch pipeline fp16 (the reference publishes no
+machine-readable numbers, BASELINE.md); the north-star target is
+vs_baseline >= 5.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_REFERENCE_IMGS_PER_SEC = 100.0
+
+
+def main():
+    from equss_tpu.models.equss import EQUSS, EQUSSConfig
+    from equss_tpu.ops.quantizer import PQConfig
+
+    cfg = EQUSSConfig(
+        model_type="vit_small",
+        patch_size=8,
+        hidden_dim=1024,
+        dropout=False,
+        backbone_dtype=jnp.bfloat16,
+        pq=PQConfig(num_pq=64, num_codebook=256, embed_dim=1024,
+                    vq_type="param", normalize="l2"),
+    )
+    model = EQUSS(cfg)
+    params, state = model.init(jax.random.PRNGKey(0), img_hw=(224, 224))
+
+    @jax.jit
+    def forward(params, state, img):
+        out, _ = model.apply(params, state, img, training=False)
+        # scalar summary: fetching it to host forces completion of the
+        # whole pipeline (block_until_ready does not reliably block on
+        # the tunneled axon platform)
+        return jnp.sum(out["indices"])
+
+    batch = 64
+    img = jax.random.normal(jax.random.PRNGKey(1), (batch, 224, 224, 3),
+                            jnp.float32)
+
+    # compile + warmup (host fetch forces execution)
+    for _ in range(3):
+        int(forward(params, state, img))
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters - 1):
+        out = forward(params, state, img)
+    int(out)                      # force completion of the queued chain
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * (n_iters - 1) / dt
+    print(json.dumps({
+        "metric": "dense ViT-S/8 + PQ(64x256) inference images/sec/chip @224",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(imgs_per_sec / A100_REFERENCE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
