@@ -1,0 +1,182 @@
+"""Data layer: transforms parity, dataset loading on a synthetic corpus,
+pipeline batching with kNN positives, offline jobs."""
+import os
+from os.path import join
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from equss_tpu.data.catalog import coco_fine_to_coarse_lut
+from equss_tpu.data.datasets import CocoSeg, CroppedDataset, build_base_dataset
+from equss_tpu.data.jobs import materialize_crops, precompute_knns
+from equss_tpu.data.pipeline import UnSegData
+from equss_tpu.data.transforms import (
+    center_crop_np,
+    five_crop_np,
+    load_image,
+    normalize_images,
+    photometric_aug,
+    prepare_image,
+    resize_shorter_np,
+    unnormalize_images,
+)
+
+
+# ---------------------------------------------------------------- transforms
+
+def test_resize_shorter_matches_pil_semantics():
+    img = Image.fromarray(np.random.RandomState(0).randint(
+        0, 255, (30, 50, 3), np.uint8))
+    out = resize_shorter_np(img, 15)      # shorter side 30 -> 15
+    assert out.size == (25, 15)           # PIL size is (w, h)
+    out = resize_shorter_np(img, (7, 9))
+    assert out.size == (9, 7)
+
+
+def test_center_crop_matches_torch_semantics():
+    arr = np.arange(7 * 9).reshape(7, 9).astype(np.uint8)
+    out = center_crop_np(arr, 5)
+    # torch CenterCrop: top = round((7-5)/2)=1, left = round((9-5)/2)=2
+    np.testing.assert_array_equal(out, arr[1:6, 2:7])
+
+
+def test_five_crop_matches_definition():
+    arr = np.arange(8 * 10).reshape(8, 10)
+    tl, tr, bl, br, c = five_crop_np(arr, 4, 5)
+    np.testing.assert_array_equal(tl, arr[:4, :5])
+    np.testing.assert_array_equal(tr, arr[:4, 5:])
+    np.testing.assert_array_equal(bl, arr[4:, :5])
+    np.testing.assert_array_equal(br, arr[4:, 5:])
+    np.testing.assert_array_equal(c, arr[2:6, 2:7])
+
+
+def test_normalize_roundtrip():
+    img = np.random.RandomState(0).randint(0, 255, (2, 8, 8, 3), np.uint8)
+    norm = normalize_images(jnp.asarray(img))
+    back = unnormalize_images(norm)
+    np.testing.assert_allclose(np.asarray(back),
+                               img.astype(np.float32) / 255.0, atol=1e-5)
+
+
+def test_photometric_aug_valid_range():
+    img = jax.random.uniform(jax.random.PRNGKey(0), (4, 16, 16, 3))
+    out = jax.jit(photometric_aug)(jax.random.PRNGKey(1), img)
+    o = np.asarray(out)
+    assert o.shape == img.shape
+    assert np.all(o >= -1e-5) and np.all(o <= 1 + 1e-5)
+    assert np.isfinite(o).all()
+    # different keys -> different augs
+    out2 = jax.jit(photometric_aug)(jax.random.PRNGKey(2), img)
+    assert np.abs(np.asarray(out2) - o).max() > 1e-3
+
+
+# ------------------------------------------------------------------ datasets
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    """Miniature COCO-Stuff-style corpus: 6 train + 4 val images."""
+    root = tmp_path_factory.mktemp("coco")
+    rng = np.random.RandomState(0)
+    for split, n in [("train2017", 6), ("val2017", 4)]:
+        os.makedirs(root / "images" / split)
+        os.makedirs(root / "annotations" / split)
+        os.makedirs(root / "curated" / split)
+        ids = []
+        for i in range(n):
+            img_id = f"{split[:-4]}_{i:06d}"
+            ids.append(img_id)
+            img = rng.randint(0, 255, (37, 43, 3), np.uint8)
+            Image.fromarray(img).save(root / "images" / split / f"{img_id}.jpg")
+            lbl = rng.randint(0, 182, (37, 43), np.uint8)
+            lbl[:5, :5] = 255      # ignore region
+            Image.fromarray(lbl).save(
+                root / "annotations" / split / f"{img_id}.png")
+        for list_name in ["Coco164kFull_Stuff_Coarse.txt",
+                          "Coco164kFull_Stuff_Coarse_7.txt",
+                          "Coco164kFew_Stuff_6.txt"]:
+            (root / "curated" / split / list_name).write_text(
+                "\n".join(ids) + "\n")
+    return str(root)
+
+
+def test_cocoseg_loads_and_remaps(coco_root):
+    ds = CocoSeg("train", coco_root, res=32, crop_type="center")
+    assert len(ds) == 6
+    item = ds[0]
+    assert item["img"].shape == (32, 32, 3) and item["img"].dtype == np.uint8
+    label = item["label"]
+    assert label.shape == (32, 32)
+    assert label.min() >= -1 and label.max() <= 26
+    # ignore pixels (255 in fine labels) must be -1
+    lut = coco_fine_to_coarse_lut()
+    assert lut[255] == -1
+
+
+def test_cocostuff3_and_15_variants(coco_root):
+    ds3 = build_base_dataset("cocostuff3", "train", coco_root, 32, None,
+                             loader_crop_type="center")
+    item = ds3[0]
+    assert item["label"].max() <= 2
+    ds15 = build_base_dataset("cocostuff15", "train", coco_root, 32, None,
+                              loader_crop_type="center")
+    item = ds15[0]
+    assert item["label"].max() <= 14
+
+
+def test_five_crop_job_and_cropped_dataset(coco_root, tmp_path):
+    out_root = materialize_crops("cocostuff27", coco_root, str(tmp_path),
+                                 mode="train", crop_ratio=0.5, limit=2)
+    ds = CroppedDataset("train", str(tmp_path), "cocostuff27", res=16,
+                        crop_type_load="five", crop_ratio=0.5)
+    assert len(ds) == 10      # 2 images x 5 crops
+    item = ds[3]
+    assert item["img"].shape == (16, 16, 3)
+    assert item["label"].min() >= -1
+
+
+def test_pipeline_batches_with_knn_positives(coco_root, tmp_path):
+    # fake kNN cache: neighbor list = circular shift
+    n = 6
+    nns = np.stack([np.roll(np.arange(n), -i)[:4] for i in range(n)])
+    nns_path = str(tmp_path / "nns.npz")
+    np.savez_compressed(nns_path, nns=nns)
+
+    data = UnSegData("train", coco_root, "cocostuff27", crop_type=None,
+                     loader_crop_type="center", res=32, pos_images=True,
+                     num_neighbors=3, nns_path=nns_path)
+    batches = list(data.batches(2, seed=0))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["img"].shape == (2, 32, 32, 3)
+    assert b["img_pos"].shape == (2, 32, 32, 3)
+    assert b["label"].shape == (2, 32, 32)
+    assert b["index_pos"].shape == (2,)
+    # positives come from the neighbor lists (ranks 1..3)
+    for i in range(2):
+        assert b["index_pos"][i] in nns[b["index"][i]][1:4]
+
+
+def test_knn_precompute_job(coco_root, tmp_path):
+    from equss_tpu.models.equss import EQUSS, EQUSSConfig
+    from equss_tpu.ops.quantizer import PQConfig
+
+    cfg = EQUSSConfig(model_type="vit_micro", patch_size=8, hidden_dim=32,
+                      dropout=False,
+                      pq=PQConfig(num_pq=4, num_codebook=8, embed_dim=32,
+                                  vq_type="param", normalize="l2"))
+    model = EQUSS(cfg)
+    params, _ = model.init(jax.random.PRNGKey(0), img_hw=(32, 32))
+
+    data = UnSegData("train", coco_root, "cocostuff27", crop_type=None,
+                     loader_crop_type="center", res=32)
+    out = precompute_knns(model, params, data,
+                          str(tmp_path / "nns" / "nns_test.npz"), k=4,
+                          batch_size=3)
+    nns = np.load(out)["nns"]
+    assert nns.shape == (6, 4)
+    # nearest neighbor of each image is itself (cosine similarity 1)
+    np.testing.assert_array_equal(nns[:, 0], np.arange(6))
