@@ -110,6 +110,11 @@ class EQUSS:
         self.head = ExpansionHead(cfg.hidden_dim)
         self.feat_dim = self.vit_cfg.embed_dim
 
+    def output_dim(self, output_type: str) -> int:
+        """Probe input dim for eval.output_type (wrapper/PQGOWrapper.py:37-46):
+        both 'feat' (the expansion-head code) and 'vqN' are hidden_dim."""
+        return self.cfg.hidden_dim
+
     # -- init ---------------------------------------------------------------
     def init(
         self,

@@ -27,9 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from equss_tpu.core.logging import MetricsLogger, compute_param_norm, count_params
+from equss_tpu.data.transforms import normalize_images
 from equss_tpu.eval.metrics import UnSegMetrics, confusion_update
 from equss_tpu.eval.probes import Evaluator, EvaluatorConfig
-from equss_tpu.models.equss import EQUSS, EQUSSConfig
+from equss_tpu.models.registry import build_model
 from equss_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from equss_tpu.train.optim import build_optimizer, global_grad_norm
 
@@ -83,20 +84,16 @@ class Trainer:
         *,
         backbone_params: Optional[Dict[str, Any]] = None,
         mesh=None,
-        model: Optional[EQUSS] = None,
+        model=None,
     ) -> None:
         self.cfg = cfg
         self.tc = TrainConfig.from_config(cfg)
-        self.model = model or EQUSS(EQUSSConfig.from_config(cfg))
+        self.model = model or build_model(cfg)
         self.mesh = mesh if mesh is not None else make_mesh()
 
-        out_dim = (
-            self.model.cfg.hidden_dim
-            if self.tc.output_type != "feat"
-            else self.model.cfg.hidden_dim
-        )
+        self.out_dim = self.model.output_dim(self.tc.output_type)
         self.evaluator = Evaluator(EvaluatorConfig(
-            embed_dim=out_dim,
+            embed_dim=self.out_dim,
             num_classes=self.tc.num_classes,
             extra_classes=self.tc.extra_classes,
             probe_res=cfg.get("eval", {}).get("probe_res", "feat"),
@@ -140,11 +137,11 @@ class Trainer:
         )
         gh = img_hw[0] // self.model.cfg.patch_size
         gw = img_hw[1] // self.model.cfg.patch_size
-        dummy_out = jnp.zeros((1, gh, gw, self.model.cfg.hidden_dim))
+        dummy_out = jnp.zeros((1, gh, gw, self.out_dim))
         dummy_label = jnp.zeros((1, *img_hw), jnp.int32)
         probe_params = self.evaluator.init(k_probe, dummy_out, dummy_label)["params"]
 
-        trainable_model = {"head": params["head"], "pq": params["pq"]}
+        trainable_model = self._trainable(params)
         state = {
             "params": params,
             "probe_params": probe_params,
@@ -167,23 +164,40 @@ class Trainer:
         return loss
 
     def _select_out(self, out: Dict[str, Any]) -> jnp.ndarray:
-        sel = out["z_q"] if self.tc.output_type.startswith("vq") else out["code"]
+        if self.tc.output_type.startswith("vq"):
+            if "z_q" not in out:
+                raise ValueError(
+                    f"model {type(self.model).__name__} has no quantized "
+                    f"output; set eval.output_type: feat")
+            sel = out["z_q"]
+        else:
+            sel = out["code"]
         return jax.lax.stop_gradient(sel)
+
+    @staticmethod
+    def _trainable(params: Dict[str, Any]) -> Dict[str, Any]:
+        # everything except the frozen backbone (dino_featurizer.py:18-21)
+        return {k: v for k, v in params.items() if k != "backbone"}
+
+    @staticmethod
+    def _normalize_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+        out = dict(batch)
+        for k in ("img", "img_pos", "aug_img"):
+            if k in out and out[k] is not None:
+                out[k] = normalize_images(out[k])
+        return out
 
     def _train_step_impl(self, ts: Dict[str, Any], batch: Dict[str, Any]):
         rng, step_rng = jax.random.split(ts["rng"])
+        batch = self._normalize_batch(batch)    # uint8 -> normalized, in-graph
 
         trainable = {
-            "model": {"head": ts["params"]["head"], "pq": ts["params"]["pq"]},
+            "model": self._trainable(ts["params"]),
             "probes": ts["probe_params"],
         }
 
         def loss_fn(tr):
-            params = {
-                "backbone": ts["params"]["backbone"],
-                "head": tr["model"]["head"],
-                "pq": tr["model"]["pq"],
-            }
+            params = dict(ts["params"], **tr["model"])
             out, new_mstate = self.model.apply(
                 params, ts["model_state"], batch["img"],
                 img_pos=batch.get("img_pos"), training=True, rng=step_rng,
@@ -211,14 +225,10 @@ class Trainer:
 
         metrics["grad-norm"] = global_grad_norm(grads["model"])
 
+        old_model = self._trainable(ts["params"])
         up_m, opt_m = self.tx_model.update(
-            grads["model"], ts["opt"]["model"],
-            {"head": ts["params"]["head"], "pq": ts["params"]["pq"]},
-        )
-        new_model = jax.tree.map(
-            lambda p, u: p + u,
-            {"head": ts["params"]["head"], "pq": ts["params"]["pq"]}, up_m,
-        )
+            grads["model"], ts["opt"]["model"], old_model)
+        new_model = jax.tree.map(lambda p, u: p + u, old_model, up_m)
         up_c, opt_c = self.tx_cluster.update(
             grads["probes"]["cluster_probe"], ts["opt"]["cluster"],
             ts["probe_params"]["cluster_probe"],
@@ -233,11 +243,7 @@ class Trainer:
             lambda p, u: p + u, ts["probe_params"]["linear_probe"], up_l)
 
         new_ts = {
-            "params": {
-                "backbone": ts["params"]["backbone"],
-                "head": new_model["head"],
-                "pq": new_model["pq"],
-            },
+            "params": dict(ts["params"], **new_model),
             "probe_params": {
                 "cluster_probe": new_cluster,
                 "linear_probe": new_linear,
@@ -251,6 +257,7 @@ class Trainer:
 
     # ------------------------------------------------------------ valid step
     def _valid_step_impl(self, ts: Dict[str, Any], batch: Dict[str, Any]):
+        batch = self._normalize_batch(batch)
         params = ts["params"]
         out, _ = self.model.apply(
             params, ts["model_state"], batch["img"], training=False,

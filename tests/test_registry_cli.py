@@ -1,0 +1,108 @@
+"""Model registry dispatch + CLI smoke run + stego/probe variants."""
+import numpy as np
+import pytest
+
+import jax
+
+from equss_tpu.core.config import load_config, resolve_config
+from equss_tpu.data.synthetic import synthetic_batches
+from equss_tpu.models.registry import available_models, build_model, resolve_model_name
+from equss_tpu.parallel.mesh import make_mesh
+from equss_tpu.train.trainer import Trainer
+
+
+def test_registry_dispatch_by_name_and_keyword():
+    assert "pqgo" in available_models()
+    cfg = {"model": {"name": "stego"}}
+    assert resolve_model_name(cfg) == "stego"
+    # fallback: reference-style run-name keyword (build.py:39-63)
+    cfg = {"model": {}, "wandb": {"name": "PQGO_weighted_sum"}}
+    assert resolve_model_name(cfg) == "pqgo"
+    cfg = {"model": {}, "wandb": {"name": "STEGO_flops"}}
+    assert resolve_model_name(cfg) == "stego"
+    with pytest.raises(ValueError):
+        resolve_model_name({"model": {"name": "nope"}})
+
+
+def _stego_cfg():
+    return {
+        "seed": 0,
+        "num_classes": 4,
+        "model": {
+            "name": "stego",
+            "pretrained": {
+                "model_type": "vit_micro", "dino_patch_size": 8,
+                "freeze_backbone": True, "dropout": True, "drop_prob": 0.1,
+                "dim": 24,
+            },
+        },
+        "loss": {
+            "stego_weight": 1.0,
+            "stego": {
+                "neg_inter_weight": 0.63, "pos_inter_weight": 0.25,
+                "pos_intra_weight": 0.67, "neg_inter_shift": 0.66,
+                "pos_inter_shift": 0.02, "pos_intra_shift": 0.08,
+                "zero_clamp": True, "pointwise": True, "stabilize": False,
+                "feature_samples": 5, "neg_samples": 2,
+            },
+        },
+        "optimizer": {
+            "model": {"name": "adam", "lr": 3.0e-4},
+            "cluster": {"name": "adam", "lr": 3.0e-3},
+            "linear": {"name": "adam", "lr": 3.0e-3},
+        },
+        "eval": {"output_type": "feat", "extra_classes": 0},
+        "train": {"max_epochs": 1, "print_interval_iters": 2,
+                  "valid_interval_iters": 100, "clip_grad": 10.0,
+                  "num_accum": 1},
+    }
+
+
+def test_stego_variant_trains():
+    cfg = _stego_cfg()
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(32, 32))
+    for batch in synthetic_batches(0, 2, batch_size=4, res=32):
+        ts, metrics = trainer.train_step(ts, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["stego-loss"]))
+    val = trainer.validate(
+        ts, synthetic_batches(1, 1, batch_size=4, res=32, with_pos=False))
+    assert 0 <= val["Cluster_mIoU"] <= 100
+
+
+def test_probe_only_variant_trains():
+    cfg = _stego_cfg()
+    cfg["model"] = {"name": "probe",
+                    "pretrained": {"model_type": "vit_micro",
+                                   "dino_patch_size": 8}}
+    cfg["loss"] = {}
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(32, 32))
+    probes_before = jax.device_get(ts["probe_params"])
+    for batch in synthetic_batches(0, 2, batch_size=4, res=32):
+        ts, metrics = trainer.train_step(ts, batch)
+    probes_after = jax.device_get(ts["probe_params"])
+    diff = sum(float(np.abs(a - b).sum()) for a, b in zip(
+        jax.tree.leaves(probes_before), jax.tree.leaves(probes_after)))
+    assert diff > 0, "probes did not train"
+
+
+def test_shipped_configs_resolve_and_build():
+    import glob
+
+    for path in glob.glob("configs/*.yaml"):
+        cfg = resolve_config(load_config(path))
+        name = resolve_model_name(cfg)
+        assert name in available_models()
+        if cfg["model"]["pretrained"]["model_type"] == "vit_micro":
+            build_model(cfg)    # cheap builds only
+
+
+def test_cli_smoke(tmp_path):
+    from equss_tpu.cli import main
+
+    result = main(["--config", "configs/smoke_synthetic.yaml", "--debug",
+                   f"save_dir={tmp_path}", "train.valid_interval_iters=100",
+                   "dataset.synthetic_batches=2"])
+    assert result["best"]["Cluster_mIoU"] >= 0.0

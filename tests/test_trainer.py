@@ -22,6 +22,7 @@ def tiny_cfg(vq_type="param", output_type="vq0", num_classes=4):
         "seed": 0,
         "num_classes": num_classes,
         "model": {
+            "name": "pqgo",
             "pretrained": {
                 "model_type": "vit_micro",
                 "dino_patch_size": 8,
