@@ -1,0 +1,201 @@
+"""Dense CRF refinement (Krähenbühl & Koltun mean field), TPU-native.
+
+Replaces pydensecrf (/root/reference/utils/crf_utils.py:32-71): unary
+from softmax, Gaussian pairwise (sxy=1, compat=3), bilateral pairwise
+(sxy=67, srgb=3, compat=4), 10 mean-field iterations, symmetric kernel
+normalization.
+
+Design: the reference's C++ permutohedral lattice *approximates* the
+bilateral message pass on CPU, serially per image.  Here the message
+pass is EXACT and runs on the MXU: the N x N bilateral kernel is never
+materialized — it streams in row blocks (FlashAttention-style), each
+block being a (B, 5)x(5, N) distance matmul + exp + (B, N)x(N, C)
+message matmul inside ``lax.scan``.  The whole 10-iteration inference
+jits and vmaps over the batch, replacing the reference's serial
+.cpu() loop (crf_utils.py:62-71).
+
+Parity: pydensecrf itself is approximate, so agreement is at the
+metric level, not bitwise; the naive dense reference in this module is
+used to test the blocked path exactly.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from equss_tpu.data.transforms import unnormalize_images
+
+
+@dataclasses.dataclass(frozen=True)
+class CRFConfig:
+    """Defaults match crf_utils.py:8-13."""
+
+    max_iter: int = 10
+    pos_w: float = 3.0        # Gaussian (spatial) compat
+    pos_xy_std: float = 1.0
+    bi_w: float = 4.0         # bilateral compat
+    bi_xy_std: float = 67.0
+    bi_rgb_std: float = 3.0
+    block: int = 512          # row-block size for the streamed kernel
+
+
+def _bilateral_features(img_rgb255: jnp.ndarray, cfg: CRFConfig) -> jnp.ndarray:
+    """(H, W, 3) in [0, 255] -> (N, 5) sigma-normalized features."""
+    H, W, _ = img_rgb255.shape
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W))
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1))
+    f = jnp.concatenate(
+        [
+            (xs / cfg.bi_xy_std)[..., None],
+            (ys / cfg.bi_xy_std)[..., None],
+            img_rgb255 / cfg.bi_rgb_std,
+        ],
+        axis=-1,
+    )
+    return f.reshape(H * W, 5)
+
+
+def _blocked_kernel_apply(
+    feats: jnp.ndarray,        # (N, F) sigma-normalized
+    values: jnp.ndarray,       # (N, C) values to filter
+    block: int,
+) -> jnp.ndarray:
+    """Exact (K @ values) with K_ij = exp(-||f_i - f_j||^2 / 2), streamed
+    in row blocks so the N x N kernel never materializes."""
+    n, fdim = feats.shape
+    pad = (-n) % block
+    feats_p = jnp.pad(feats, ((0, pad), (0, 0)))
+    sq = jnp.sum(feats_p * feats_p, axis=-1)                    # (Np,)
+    n_blocks = feats_p.shape[0] // block
+    fb = feats_p.reshape(n_blocks, block, fdim)
+    sqb = sq.reshape(n_blocks, block)
+
+    def row_block(carry, xs):
+        f_i, sq_i = xs                                          # (B, F), (B,)
+        d2 = (
+            sq_i[:, None]
+            + sq[None, :n]
+            - 2.0 * jnp.einsum("bf,nf->bn", f_i, feats,
+                               preferred_element_type=jnp.float32)
+        )
+        k = jnp.exp(-0.5 * jnp.maximum(d2, 0.0))                # (B, N)
+        out = jnp.einsum("bn,nc->bc", k, values,
+                         preferred_element_type=jnp.float32)
+        return carry, out
+
+    _, out = jax.lax.scan(row_block, None, (fb, sqb))
+    return out.reshape(n_blocks * block, -1)[:n]
+
+
+def _gaussian_conv(values: jnp.ndarray, sigma: float, radius: int = 4
+                   ) -> jnp.ndarray:
+    """Separable truncated spatial Gaussian (H, W, C) filter — the
+    sxy=1 pairwise term is local, so a conv beats the N^2 path."""
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k1d = jnp.exp(-0.5 * (x / sigma) ** 2)      # unnormalized, matches kernel
+
+    def conv_axis(v, axis):
+        pad = [(0, 0)] * v.ndim
+        pad[axis] = (radius, radius)
+        vp = jnp.pad(v, pad)
+        out = jnp.zeros_like(v)
+        for i in range(2 * radius + 1):
+            sl = [slice(None)] * v.ndim
+            sl[axis] = slice(i, i + v.shape[axis])
+            out = out + k1d[i] * vp[tuple(sl)]
+        return out
+
+    return conv_axis(conv_axis(values, 0), 1)
+
+
+def dense_crf(
+    img: jnp.ndarray,          # (H, W, 3) normalized (ImageNet) float
+    log_probs: jnp.ndarray,    # (H, W, C) log-softmax unary
+    cfg: CRFConfig = CRFConfig(),
+) -> jnp.ndarray:
+    """Refined probabilities (H, W, C) after mean-field inference.
+
+    Mirrors dense_crf (crf_utils.py:32-55): unary = -log softmax; per
+    iteration Q = softmax(log_p + pos_w * gauss_msg + bi_w * bilat_msg)
+    with symmetric kernel normalization and self-exclusion.
+    """
+    H, W, C = log_probs.shape
+    n = H * W
+    rgb255 = jnp.clip(unnormalize_images(img), 0.0, 1.0) * 255.0
+
+    feats = _bilateral_features(rgb255, cfg)
+
+    # symmetric normalization degrees (filter of ones), incl. self
+    ones = jnp.ones((n, 1), jnp.float32)
+    deg_bi = _blocked_kernel_apply(feats, ones, cfg.block)[:, 0]
+    inv_sqrt_bi = jax.lax.rsqrt(jnp.maximum(deg_bi, 1e-20))
+
+    deg_sp = _gaussian_conv(jnp.ones((H, W, 1)), cfg.pos_xy_std)[..., 0]
+    inv_sqrt_sp = jax.lax.rsqrt(jnp.maximum(deg_sp, 1e-20))
+
+    log_p = jax.nn.log_softmax(log_probs, axis=-1).reshape(n, C)
+    q = jax.nn.softmax(log_p, axis=-1)
+
+    def body(q, _):
+        # bilateral message: D^-1/2 K D^-1/2 q, minus the self term
+        qs = q * inv_sqrt_bi[:, None]
+        m_bi = _blocked_kernel_apply(feats, qs, cfg.block) * inv_sqrt_bi[:, None]
+        m_bi = m_bi - q * (inv_sqrt_bi**2)[:, None]
+        # spatial message via conv
+        q2 = (q * inv_sqrt_sp.reshape(n)[:, None]).reshape(H, W, C)
+        m_sp = (_gaussian_conv(q2, cfg.pos_xy_std).reshape(n, C)
+                * inv_sqrt_sp.reshape(n)[:, None])
+        m_sp = m_sp - q * (inv_sqrt_sp.reshape(n) ** 2)[:, None]
+        # Potts compatibility: energy -w * msg -> logits += w * msg
+        logits = log_p + cfg.pos_w * m_sp + cfg.bi_w * m_bi
+        return jax.nn.softmax(logits, axis=-1), None
+
+    q, _ = jax.lax.scan(body, q, None, length=cfg.max_iter)
+    return q.reshape(H, W, C)
+
+
+def dense_crf_naive(img, log_probs, cfg: CRFConfig = CRFConfig()) -> jnp.ndarray:
+    """Dense-matrix oracle (materializes N x N; tests/tiny images only)."""
+    H, W, C = log_probs.shape
+    n = H * W
+    rgb255 = jnp.clip(unnormalize_images(img), 0.0, 1.0) * 255.0
+    fb = _bilateral_features(rgb255, cfg)
+
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W))
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1))
+    fs = jnp.stack([xs / cfg.pos_xy_std, ys / cfg.pos_xy_std], -1).reshape(n, 2)
+
+    def kernel(f):
+        d2 = jnp.sum((f[:, None, :] - f[None, :, :]) ** 2, -1)
+        return jnp.exp(-0.5 * d2)
+
+    k_bi = kernel(fb)
+    k_sp = kernel(fs)
+
+    def norm(k):
+        deg = jnp.sum(k, axis=-1)
+        inv = jax.lax.rsqrt(jnp.maximum(deg, 1e-20))
+        kn = k * inv[:, None] * inv[None, :]
+        return kn - jnp.diag(jnp.diag(kn))     # exclude self
+
+    kn_bi = norm(k_bi)
+    kn_sp = norm(k_sp)
+
+    log_p = jax.nn.log_softmax(log_probs, axis=-1).reshape(n, C)
+    q = jax.nn.softmax(log_p, axis=-1)
+    for _ in range(cfg.max_iter):
+        logits = log_p + cfg.pos_w * (kn_sp @ q) + cfg.bi_w * (kn_bi @ q)
+        q = jax.nn.softmax(logits, axis=-1)
+    return q.reshape(H, W, C)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def batched_crf(imgs: jnp.ndarray, log_probs: jnp.ndarray,
+                cfg: CRFConfig = CRFConfig()) -> jnp.ndarray:
+    """vmapped refinement over the batch (replaces the serial CPU loop,
+    crf_utils.py:62-71)."""
+    return jax.vmap(lambda i, lp: dense_crf(i, lp, cfg))(imgs, log_probs)

@@ -278,6 +278,54 @@ class Trainer:
             "cluster_preds": ev["cluster_preds"],
         }
 
+    # --------------------------------------------------------------- CRF eval
+    def _valid_crf_step_impl(self, ts: Dict[str, Any], batch: Dict[str, Any]):
+        """Final-eval CRF refinement (train.py:528-530, evaluator.py:56-63):
+        probe log-probs -> dense-CRF mean field -> argmax preds."""
+        from equss_tpu.ops.crf import CRFConfig, dense_crf
+
+        batch = self._normalize_batch(batch)
+        out, _ = self.model.apply(
+            ts["params"], ts["model_state"], batch["img"], training=False,
+        )
+        ev = self.evaluator.apply(
+            {"params": ts["probe_params"]}, self._select_out(out),
+            batch["label"], want_log_probs=True,
+        )
+        cfg = CRFConfig(**self.cfg.get("eval", {}).get("crf", {}))
+        refine = jax.vmap(lambda i, lp: dense_crf(i, lp, cfg))
+        linear_preds = jnp.argmax(
+            refine(batch["img"], ev["linear_log_probs"]), -1).astype(jnp.int32)
+        cluster_preds = jnp.argmax(
+            refine(batch["img"], ev["cluster_log_probs"]), -1).astype(jnp.int32)
+        n, e = self.tc.num_classes, self.tc.extra_classes
+        return {
+            "cluster_conf": confusion_update(cluster_preds, batch["label"], n, e),
+            "linear_conf": confusion_update(linear_preds, batch["label"], n, 0),
+            "linear_preds": linear_preds,
+            "cluster_preds": cluster_preds,
+        }
+
+    def validate_crf(self, ts, val_iter: Iterable[Dict[str, Any]]) -> Dict[str, float]:
+        if not hasattr(self, "_valid_crf_step"):
+            self._valid_crf_step = jax.jit(self._valid_crf_step_impl)
+        cluster_m = UnSegMetrics(self.tc.num_classes, self.tc.extra_classes,
+                                 compute_hungarian=True)
+        linear_m = UnSegMetrics(self.tc.num_classes, 0,
+                                compute_hungarian=False)
+        for batch in val_iter:
+            res = self._valid_crf_step(ts, shard_batch(self.mesh, batch))
+            cluster_m.update_confusion(res["cluster_conf"])
+            linear_m.update_confusion(res["linear_conf"])
+        cluster = cluster_m.compute()
+        linear = linear_m.compute()
+        return {
+            "Cluster_mIoU": cluster["iou"],
+            "Cluster_Accuracy": cluster["accuracy"],
+            "Linear_mIoU": linear["iou"],
+            "Linear_Accuracy": linear["accuracy"],
+        }
+
     # ------------------------------------------------------------------ loops
     def train_step(self, ts, batch):
         return self._train_step(ts, shard_batch(self.mesh, batch))
