@@ -29,6 +29,7 @@ def main():
         hidden_dim=1024,
         dropout=False,
         backbone_dtype=jnp.bfloat16,
+        attn_bf16=True,      # reference evaluates under fp16 autocast
         pq=PQConfig(num_pq=64, num_codebook=256, embed_dim=1024,
                     vq_type="param", normalize="l2"),
     )

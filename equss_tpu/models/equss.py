@@ -74,6 +74,7 @@ class EQUSSConfig:
     drop_prob: float = 0.1
     freeze_backbone: bool = True
     backbone_dtype: Any = jnp.float32
+    attn_bf16: bool = False
     pq: PQConfig = dataclasses.field(default_factory=PQConfig)
     stego: StegoLossConfig = dataclasses.field(default_factory=StegoLossConfig)
 
@@ -104,7 +105,8 @@ class EQUSS:
     def __init__(self, cfg: EQUSSConfig):
         self.cfg = cfg
         self.vit_cfg = make_vit_config(
-            cfg.model_type, cfg.patch_size, dtype=cfg.backbone_dtype
+            cfg.model_type, cfg.patch_size, dtype=cfg.backbone_dtype,
+            attn_bf16=cfg.attn_bf16,
         )
         self.backbone = VisionTransformer(self.vit_cfg)
         self.head = ExpansionHead(cfg.hidden_dim)
@@ -158,6 +160,7 @@ class EQUSS:
         *,
         training: bool = False,
         rng: Optional[jax.Array] = None,
+        **_: Any,
     ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
         """Forward (dino_pqgo.py:114-154).
 
@@ -194,7 +197,7 @@ class EQUSS:
             aux["stego-loss"] = stego_loss(
                 k_stego, feat, feat_pos, code, code_pos, cfg.stego
             )
-            if cfg.pq.vq_type == "ema":
+            if cfg.pq.vq_type == "ema" and "distance_prob" in aux:
                 # telemetry on batch halves (dino_pqgo.py:452-455)
                 prob = aux["distance_prob"]
                 flat = prob.reshape(-1, prob.shape[-2], prob.shape[-1])

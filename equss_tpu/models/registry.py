@@ -79,3 +79,52 @@ def _build_probe(cfg):
     from equss_tpu.models.probe_only import ProbeOnlyConfig, ProbeOnlyModel
 
     return ProbeOnlyModel(ProbeOnlyConfig.from_config(cfg))
+
+
+@register("hihi")
+def _build_unseg(cfg):
+    from equss_tpu.models.variants import UnSegModel
+
+    return UnSegModel(cfg)
+
+
+@register("new")
+def _build_new_vq(cfg):
+    from equss_tpu.models.variants import NewVQModel
+
+    return NewVQModel(cfg)
+
+
+@register("spq")
+def _build_spq(cfg):
+    from equss_tpu.models.variants import SPQModel
+
+    return SPQModel(cfg)
+
+
+@register("cluster")
+def _build_cluster(cfg):
+    from equss_tpu.models.variants import ClusterModel
+
+    return ClusterModel(cfg)
+
+
+@register("vae")
+def _build_vae(cfg):
+    from equss_tpu.models.variants import VAEModel
+
+    return VAEModel(cfg)
+
+
+@register("res")
+def _build_res(cfg):
+    from equss_tpu.models.variants import ResModel
+
+    return ResModel(cfg)
+
+
+@register("info")
+def _build_info(cfg):
+    from equss_tpu.models.variants import InfoModel
+
+    return InfoModel(cfg)

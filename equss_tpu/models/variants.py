@@ -1,0 +1,768 @@
+"""Research-fork model variants of the EQUSS skeleton.
+
+Functional re-designs of the reference's experiment models, all sharing
+the frozen-DINO backbone, the heads library and the batched quantizer
+ops (so each variant is a thin composition, not a copied file):
+
+* UnSegModel  — dino_unseg.py:12-140 ('hihi', the original enc -> multi-
+  VQ chain -> dec reconstruction architecture; also serves vq_baseline)
+* NewVQModel  — dino_new_vq.py:38-184 ('new': enc resblocks -> PQ ->
+  dec recon + InfoNCE between (img, aug) halves)
+* SPQModel    — dino_spq.py:14-161 ('spq': soft product quantization,
+  softmax-weighted codeword sums + JSD + InfoNCE)
+* ClusterModel— dino_cluster.py:19-166 ('cluster': encoder + margin
+  ranking between ori/aug correlation matrices)
+* VAEModel    — dino_vae.py:15-238 ('vae': two-level VQ-VAE-2-style
+  top/bottom hierarchy + JSD contrast between aug halves)
+* InfoModel   — dino_info.py:12-124 ('info': chained-VQ recon)
+* ResModel    — dino_res.py:15-162 ('res': semantic+local encoders,
+  recon, InfoNCE positive + CLUB MI-minimization negative)
+
+All consume NHWC batches; photometric augmentation happens on device in
+the input pipeline (the reference augments inside forward,
+dino_vae.py:173-176 — here aug_img arrives precomputed, same
+distribution, see data/transforms.photometric_aug).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from equss_tpu.losses.basic import info_nce_loss, jsd_loss, margin_ranking_loss, club_loss
+from equss_tpu.models.heads import CLUBEncoder, DecResBlock, EncResBlock, dropout2d
+from equss_tpu.models.vit import VisionTransformer, make_vit_config
+from equss_tpu.ops.quantizer import PQConfig, pq_forward, pq_init
+
+
+def codebook_usage_percentiles(count: jnp.ndarray, prefix: str = "") -> Dict[str, jnp.ndarray]:
+    """p10/p50/p90 of the sorted usage CDF (quantizer.py:15-30,
+    dino_new_vq.py:21-36), vectorized."""
+    count = count.reshape(-1).astype(jnp.float32)
+    k = count.shape[0]
+    prob = count / (jnp.sum(count) + 1.0)
+    prob = jnp.sort(prob)[::-1]
+    c_sum = jnp.cumsum(prob)
+    out = {}
+    for q in (10, 50, 90):
+        idx = jnp.argmax(c_sum >= q / 100.0)
+        out[f"{prefix}-p{q}"] = idx / k
+    return out
+
+
+class _BackboneMixin:
+    """Shared frozen-DINO featurizer plumbing."""
+
+    def _setup_backbone(self, pre: Dict[str, Any], dtype=jnp.float32):
+        self.vit_cfg = make_vit_config(pre["model_type"],
+                                       pre["dino_patch_size"], dtype=dtype)
+        self.backbone = VisionTransformer(self.vit_cfg)
+        self.feat_dim = self.vit_cfg.embed_dim
+        self.patch_size = pre["dino_patch_size"]
+        self.dropout = pre.get("dropout", False)
+        self.drop_prob = pre.get("drop_prob", 0.1)
+
+    # expose .cfg.patch_size like the other models (trainer contract)
+    @property
+    def cfg(self):
+        import types
+
+        return types.SimpleNamespace(patch_size=self.patch_size)
+
+    def features(self, params, img):
+        feat = self.backbone.apply({"params": params["backbone"]}, img)["dense"]
+        return jax.lax.stop_gradient(feat.astype(jnp.float32))
+
+    def _init_backbone(self, key, img_hw, backbone_params):
+        if backbone_params is None:
+            backbone_params = self.backbone.init(
+                key, jnp.zeros((1, *img_hw, 3)))["params"]
+        return backbone_params
+
+
+class _EncStack(nn.Module):
+    """EncResBlock stack (dino_unseg.py:21-26)."""
+    hidden_dim: int
+    num_blocks: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_blocks):
+            x = EncResBlock(self.hidden_dim, name=f"enc_{i}")(x)
+        return x
+
+
+class _DecStack(nn.Module):
+    """DecResBlock stack ending at feat_dim (dino_unseg.py:96-102)."""
+    hidden_dim: int
+    out_dim: int
+    num_blocks: int
+    last_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        for i in range(self.num_blocks):
+            out = self.out_dim if i == self.num_blocks - 1 else self.hidden_dim
+            x = DecResBlock(out, name=f"dec_{i}")(x, train=train)
+        if self.last_norm:
+            x = nn.LayerNorm(name="dec_norm")(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# UnSeg ('hihi') — enc -> chained multi-VQ -> aggregate -> dec recon
+# ---------------------------------------------------------------------------
+
+class _UnSegNet(nn.Module):
+    """The trainable torso of DINOUnSeg (dino_unseg.py:20-102), VQ blocks
+    excluded (they are functional ops threaded from outside)."""
+    hidden_dim: int
+    feat_dim: int
+    embed_dims: tuple
+    enc_num_blocks: int
+    dec_num_blocks: int
+    agg_type: str = "concat"
+    last_norm: bool = False
+
+    def setup(self):
+        self.enc = _EncStack(self.hidden_dim, self.enc_num_blocks)
+        self.vq_input_proj = [
+            nn.Dense(e, use_bias=False, name=f"vq_in_{i}")
+            for i, e in enumerate(self.embed_dims)]
+        self.vq_output_proj = [
+            nn.Dense(self.hidden_dim, name=f"vq_out_{i}")
+            for i in range(len(self.embed_dims) - 1)]
+        self.agg = nn.Dense(self.hidden_dim, name="agg")
+        self.dec = _DecStack(self.hidden_dim, self.feat_dim,
+                             self.dec_num_blocks, self.last_norm)
+
+    def encode(self, feat):
+        return self.enc(feat)
+
+    def vq_input(self, i, feat):
+        # LeakyReLU then 1x1 conv (dino_unseg.py:69-73)
+        return self.vq_input_proj[i](nn.leaky_relu(feat, 0.1))
+
+    def vq_output(self, i, feat, feat_vq):
+        return self.vq_output_proj[i](jnp.concatenate([feat, feat_vq], -1))
+
+    def decode(self, feat_vqs, train=True):
+        if self.agg_type == "concat":
+            feat = jnp.concatenate(feat_vqs, axis=-1)
+        else:
+            feat = sum(feat_vqs)
+        feat = self.agg(feat)
+        return feat, self.dec(feat, train=train)
+
+
+class UnSegModel(_BackboneMixin):
+    """params={'backbone','net','pq': [..]}, state={'pq': [..]}."""
+
+    def __init__(self, cfg: Dict[str, Any]):
+        m = cfg["model"]
+        self._setup_backbone(m["pretrained"])
+        vq = m["vq"]
+        self.hidden_dim = m.get("hidden_dim", self.feat_dim)
+        self.embed_dims = tuple(vq["embed_dims"])
+        self.num_vq = len(self.embed_dims)
+        num_pq = vq.get("num_pq", 1)
+        if isinstance(num_pq, int):
+            num_pq = [num_pq] * self.num_vq
+        self.pq_cfgs = [
+            PQConfig(
+                num_pq=num_pq[i], num_codebook=vq["num_codebooks"][i],
+                embed_dim=self.embed_dims[i], vq_type=vq.get("vq_type", "param"),
+                beta=vq.get("beta", 0.25), normalize=vq.get("normalize", "none"),
+                use_restart=vq.get("use_restart", False),
+                use_split=vq.get("use_split", False),
+                use_gumbel=vq.get("use_gumbel", False),
+                use_weighted_sum=vq.get("use_gumbel", False),  # gumbel implies
+                decay=vq.get("decay", 0.99), eps=vq.get("eps", 1e-5),
+            ) if not vq.get("use_gumbel", False) else
+            PQConfig(
+                num_pq=num_pq[i], num_codebook=vq["num_codebooks"][i],
+                embed_dim=self.embed_dims[i], vq_type=vq.get("vq_type", "param"),
+                beta=vq.get("beta", 0.25), normalize="none",
+                use_gumbel=True, use_weighted_sum=True,
+                decay=vq.get("decay", 0.99), eps=vq.get("eps", 1e-5),
+            )
+            for i in range(self.num_vq)
+        ]
+        self.net = _UnSegNet(
+            hidden_dim=self.hidden_dim, feat_dim=self.feat_dim,
+            embed_dims=self.embed_dims,
+            enc_num_blocks=m.get("enc_num_blocks", 1),
+            dec_num_blocks=m.get("dec_num_blocks", 1),
+            agg_type=vq.get("agg_type", "concat"),
+            last_norm=m.get("last_norm", False),
+        )
+        self._embed_dims_by_type = {"feat": self.feat_dim}
+
+    def output_dim(self, output_type: str) -> int:
+        if output_type == "feat":
+            return self.feat_dim
+        return self.embed_dims[int(output_type[2:])]
+
+    def init(self, key, img_hw=(224, 224), backbone_params=None):
+        keys = jax.random.split(key, 2 + self.num_vq)
+        backbone_params = self._init_backbone(keys[0], img_hw, backbone_params)
+        gh, gw = img_hw[0] // self.patch_size, img_hw[1] // self.patch_size
+        dummy = jnp.zeros((1, gh, gw, self.feat_dim))
+        net_params = self._init_net(keys[1], dummy)
+        pq_params, pq_states = [], []
+        for i, c in enumerate(self.pq_cfgs):
+            p, s = pq_init(keys[2 + i], c)
+            pq_params.append(p)
+            pq_states.append(s)
+        return (
+            {"backbone": backbone_params, "net": net_params, "pq": pq_params},
+            {"pq": pq_states, "batch_stats": self._init_bn(dummy, net_params)},
+        )
+
+    def _init_net(self, key, dummy):
+        def full(net, feat):
+            f = net.encode(feat)
+            vqs = []
+            for i in range(self.num_vq):
+                fi = net.vq_input(i, f)
+                vqs.append(fi)
+                if i < self.num_vq - 1:
+                    f = net.vq_output(i, f, fi)
+            return net.decode(vqs, train=True)
+
+        variables = self.net.init(key, dummy, method=full)
+        self._bn_template = variables.get("batch_stats", {})
+        return variables["params"]
+
+    def _init_bn(self, dummy, net_params):
+        return getattr(self, "_bn_template", {})
+
+    def apply(self, params, state, img, img_pos=None, *, training=False,
+              rng=None, **_):
+        feat_dino = self.features(params, img)
+
+        def full(net, feat):
+            f = net.encode(feat)
+            outs = {}
+            feat_vqs = []
+            pq_states = []
+            for i in range(self.num_vq):
+                fi = net.vq_input(i, f)
+                z_q, idx, aux, new_s = pq_forward(
+                    fi, params["pq"][i], state["pq"][i], self.pq_cfgs[i],
+                    training=training,
+                    rng=None if rng is None else jax.random.fold_in(rng, i),
+                )
+                pq_states.append(new_s)
+                feat_vqs.append(z_q)
+                outs[f"vq{i}-loss"] = aux["vq-loss"]
+                if "codebook-usage" in aux:
+                    outs[f"vq{i}-usage"] = aux["codebook-usage"]
+                if i < self.num_vq - 1:
+                    f = net.vq_output(i, f, z_q)
+            agg, recon = net.decode(feat_vqs, train=training)
+            return agg, feat_vqs, outs, pq_states, recon
+
+        variables = {"params": params["net"]}
+        if state.get("batch_stats"):
+            variables["batch_stats"] = state["batch_stats"]
+        (agg, feat_vqs, outs, pq_states, recon), mutated = self.net.apply(
+            variables, feat_dino, method=full,
+            mutable=["batch_stats"] if training else [],
+        )
+        outs["recon-loss"] = jnp.mean((recon - feat_dino) ** 2)
+        outs["vq-loss"] = sum(
+            outs[f"vq{i}-loss"] for i in range(self.num_vq)) / self.num_vq
+        new_state = {
+            "pq": pq_states,
+            "batch_stats": mutated.get("batch_stats",
+                                       state.get("batch_stats", {})),
+        }
+        out = {
+            "feat": feat_dino,
+            "code": agg,
+            "z_q": feat_vqs[0],
+            "feat_vqs": feat_vqs,
+            "aux": outs,
+        }
+        return out, new_state
+
+
+# ---------------------------------------------------------------------------
+# NewVQ — enc -> PQ -> dec recon + InfoNCE between (img, aug) halves
+# ---------------------------------------------------------------------------
+
+class _NewVQNet(nn.Module):
+    hidden_dim: int
+    feat_dim: int
+    enc_num_blocks: int
+    dec_num_blocks: int
+
+    def setup(self):
+        self.enc = _EncStack(self.hidden_dim, self.enc_num_blocks)
+        self.dec = _DecStack(self.hidden_dim, self.feat_dim,
+                             self.dec_num_blocks)
+
+    def encode(self, x):
+        return self.enc(x)
+
+    def decode(self, x, train=True):
+        return self.dec(x, train=train)
+
+
+class NewVQModel(_BackboneMixin):
+    def __init__(self, cfg: Dict[str, Any]):
+        m = cfg["model"]
+        self._setup_backbone(m["pretrained"])
+        vq = m["vq"]
+        self.hidden_dim = vq["embed_dims"][0]
+        num_pq = vq.get("num_pq", 1)
+        if isinstance(num_pq, (list, tuple)):
+            num_pq = num_pq[0]
+        self.pq_cfg = PQConfig(
+            num_pq=num_pq, num_codebook=vq["num_codebooks"][0],
+            embed_dim=self.hidden_dim, vq_type=vq.get("vq_type", "param"),
+            beta=vq.get("beta", 0.25), normalize=vq.get("normalize", "none"),
+            use_weighted_sum=vq.get("use_weighted_sum", False),
+            use_restart=vq.get("use_restart", False),
+            jsd_ts=cfg["loss"].get("jsd", {}).get("temperature", 1.0),
+        )
+        self.net = _NewVQNet(self.hidden_dim, self.feat_dim,
+                             m.get("enc_num_blocks", 1),
+                             m.get("dec_num_blocks", 1))
+        ince = cfg["loss"].get("info_nce", {})
+        self.info_nce_kwargs = dict(
+            normalize=ince.get("normalize", "l2"),
+            neg_sample=ince.get("neg_sample", 10),
+            temperature=ince.get("temperature", 1.0),
+            cal_type=ince.get("cal_type", "random"),
+        )
+
+    def output_dim(self, output_type: str) -> int:
+        return self.feat_dim if output_type == "feat" else self.hidden_dim
+
+    def init(self, key, img_hw=(224, 224), backbone_params=None):
+        k0, k1, k2 = jax.random.split(key, 3)
+        backbone_params = self._init_backbone(k0, img_hw, backbone_params)
+        gh, gw = img_hw[0] // self.patch_size, img_hw[1] // self.patch_size
+        dummy = jnp.zeros((1, gh, gw, self.feat_dim))
+
+        def full(net, x):
+            return net.decode(net.encode(x)[..., : self.hidden_dim] * 0
+                              + jnp.zeros((1, gh, gw, self.hidden_dim)))
+
+        variables = self.net.init(k1, dummy, method=full)
+        pq_params, pq_state = pq_init(k2, self.pq_cfg)
+        return (
+            {"backbone": backbone_params, "net": variables["params"],
+             "pq": pq_params},
+            {"pq": pq_state,
+             "batch_stats": variables.get("batch_stats", {})},
+        )
+
+    def apply(self, params, state, img, img_pos=None, aug_img=None, *,
+              training=False, rng=None, **_):
+        if training and aug_img is not None:
+            img2 = jnp.concatenate([img, aug_img], axis=0)
+        else:
+            img2 = img
+        feat_dino = self.features(params, img2)
+
+        variables = {"params": params["net"]}
+        if state.get("batch_stats"):
+            variables["batch_stats"] = state["batch_stats"]
+        feat, _ = self.net.apply(variables, feat_dino, method=self.net.encode,
+                                 mutable=[])
+        z_q, idx, aux, pq_state = pq_forward(
+            feat, params["pq"], state["pq"], self.pq_cfg,
+            training=training, rng=rng,
+        )
+        recon, mutated = self.net.apply(
+            variables, z_q, training, method=self.net.decode,
+            mutable=["batch_stats"] if training else [],
+        ) if training else (self.net.apply(
+            variables, z_q, False, method=self.net.decode), {})
+        aux["recon-loss"] = jnp.mean((recon - feat_dino) ** 2)
+
+        if training and aug_img is not None and rng is not None:
+            b = img.shape[0]
+            aux["info_nce"] = info_nce_loss(
+                jax.random.fold_in(rng, 7), feat[:b], feat[b:],
+                **self.info_nce_kwargs)
+            aux["info_nce-loss"] = aux["info_nce"]
+            feat = feat[:b]
+            z_q = z_q[:b]
+            idx = idx[:b]
+
+        new_state = {"pq": pq_state,
+                     "batch_stats": mutated.get(
+                         "batch_stats", state.get("batch_stats", {}))}
+        return {"feat": feat_dino[: img.shape[0]], "code": feat, "z_q": z_q,
+                "indices": idx, "aux": aux}, new_state
+
+
+# ---------------------------------------------------------------------------
+# SPQ — soft product quantization (softmax-weighted codeword sums)
+# ---------------------------------------------------------------------------
+
+class SPQModel(_BackboneMixin):
+    """dino_spq.py:14-161: 1x1-conv encoder, single (K, M*d) codebook
+    parameter split into books, soft assignment Z = softmax(-d/tau) @ C,
+    JSD between (img, aug) halves per book + InfoNCE."""
+
+    def __init__(self, cfg: Dict[str, Any]):
+        m = cfg["model"]
+        self._setup_backbone(m["pretrained"])
+        vq = m["vq"]
+        self.hidden_dim = vq["embed_dims"][0]
+        num_pq = vq.get("num_pq", 1)
+        self.num_books = num_pq[0] if isinstance(num_pq, (list, tuple)) else num_pq
+        self.num_codebook = vq["num_codebooks"][0]
+        self.tau_q = 1.0                       # dino_spq.py:157
+        ince = cfg["loss"].get("info_nce", {})
+        self.info_nce_kwargs = dict(
+            normalize=ince.get("normalize", "l2"),
+            neg_sample=ince.get("neg_sample", 10),
+            temperature=ince.get("temperature", 1.0),
+            cal_type=ince.get("cal_type", "random"),
+        )
+
+    def output_dim(self, output_type: str) -> int:
+        return self.feat_dim if output_type == "feat" else self.hidden_dim
+
+    def init(self, key, img_hw=(224, 224), backbone_params=None):
+        k0, k1, k2 = jax.random.split(key, 3)
+        backbone_params = self._init_backbone(k0, img_hw, backbone_params)
+        enc = nn.Dense(self.hidden_dim)
+        gh, gw = img_hw[0] // self.patch_size, img_hw[1] // self.patch_size
+        enc_params = enc.init(k1, jnp.zeros((1, gh, gw, self.feat_dim)))["params"]
+        bound = jnp.sqrt(6.0 / (self.num_codebook + self.hidden_dim))
+        codebook = jax.random.uniform(
+            k2, (self.num_codebook, self.hidden_dim), jnp.float32,
+            -bound, bound)                    # xavier_uniform (dino_spq.py:153)
+        return ({"backbone": backbone_params, "enc": enc_params,
+                 "codebook": codebook}, {})
+
+    def soft_quantize(self, z: jnp.ndarray, codebook: jnp.ndarray):
+        """Soft_Quantization (dino_spq.py:103-131), batched over books."""
+        lead = z.shape[:-1]
+        dsub = self.hidden_dim // self.num_books
+        zb = z.reshape(-1, self.num_books, dsub)
+        cb = codebook.reshape(self.num_codebook, self.num_books, dsub)
+        cb = jnp.transpose(cb, (1, 0, 2))      # (B, K, dsub)
+        d2 = (
+            jnp.sum(zb * zb, -1)[..., None]
+            + jnp.sum(cb * cb, -1)[None]
+            - 2.0 * jnp.einsum("nbd,bkd->nbk", zb, cb,
+                               preferred_element_type=jnp.float32,
+                               precision="highest")
+        )
+        soft = jax.nn.softmax(-d2 * self.tau_q, axis=-1)       # (n, B, K)
+        zq = jnp.einsum("nbk,bkd->nbd", soft, cb,
+                        preferred_element_type=jnp.float32)
+        return zq.reshape(*lead, self.hidden_dim), soft
+
+    def apply(self, params, state, img, img_pos=None, aug_img=None, *,
+              training=False, rng=None, **_):
+        if training and aug_img is not None:
+            img2 = jnp.concatenate([img, aug_img], axis=0)
+        else:
+            img2 = img
+        feat_dino = self.features(params, img2)
+        enc = nn.Dense(self.hidden_dim)
+        feat = enc.apply({"params": params["enc"]}, feat_dino)
+        z_q, soft = self.soft_quantize(feat, params["codebook"])
+
+        aux: Dict[str, Any] = {}
+        if training and aug_img is not None:
+            n = soft.shape[0] // 2
+            # JSD between halves, averaged over books (dino_spq.py:108-116)
+            jsd = jnp.mean(jnp.stack([
+                jsd_loss(soft[:n, b], soft[n:, b])
+                for b in range(self.num_books)
+            ]))
+            aux["jsd"] = jsd
+            b = img.shape[0]
+            if rng is not None:
+                aux["info_nce"] = info_nce_loss(
+                    jax.random.fold_in(rng, 7), feat[:b], feat[b:],
+                    **self.info_nce_kwargs)
+                aux["info_nce-loss"] = aux["info_nce"]
+            feat = feat[:b]
+            z_q = z_q[:b]
+        return {"feat": feat_dino[: img.shape[0]], "code": feat,
+                "z_q": z_q, "aux": aux}, state
+
+
+# ---------------------------------------------------------------------------
+# Cluster — encoder + margin ranking on (ori, aug) correlations
+# ---------------------------------------------------------------------------
+
+class ClusterModel(_BackboneMixin):
+    def __init__(self, cfg: Dict[str, Any]):
+        m = cfg["model"]
+        self._setup_backbone(m["pretrained"])
+        self.hidden_dim = m.get("hidden_dim", 512)
+        self.enc_num_blocks = m.get("enc_num_blocks", 1)
+        self.net = _EncStack(self.hidden_dim, self.enc_num_blocks)
+
+    def output_dim(self, output_type: str) -> int:
+        return self.hidden_dim
+
+    def init(self, key, img_hw=(224, 224), backbone_params=None):
+        k0, k1 = jax.random.split(key)
+        backbone_params = self._init_backbone(k0, img_hw, backbone_params)
+        gh, gw = img_hw[0] // self.patch_size, img_hw[1] // self.patch_size
+        net_params = self.net.init(
+            k1, jnp.zeros((1, gh, gw, self.feat_dim)))["params"]
+        return {"backbone": backbone_params, "net": net_params}, {}
+
+    def apply(self, params, state, img, img_pos=None, aug_img=None, *,
+              training=False, rng=None, **_):
+        if training and aug_img is not None:
+            img2 = jnp.concatenate([img, aug_img], axis=0)
+        else:
+            img2 = img
+        feat_dino = self.features(params, img2)
+        semantic = self.net.apply({"params": params["net"]}, feat_dino)
+        aux: Dict[str, Any] = {}
+        if training and aug_img is not None:
+            b = img.shape[0]
+            aux["margin"] = margin_ranking_loss(semantic[:b], semantic[b:])
+            aux["margin-loss"] = aux["margin"]
+            semantic = semantic[:b]
+        return {"feat": feat_dino[: img.shape[0]], "code": semantic,
+                "aux": aux}, state
+
+
+# ---------------------------------------------------------------------------
+# VAE — two-level (top/bottom) hierarchy with JSD contrast
+# ---------------------------------------------------------------------------
+
+class _VAENet(nn.Module):
+    hidden_dim: int
+    feat_dim: int
+    embed_dims: tuple
+
+    def setup(self):
+        self.enc_bottom = _EncStack(self.hidden_dim, 1)
+        self.enc_top = nn.Dense(self.hidden_dim, name="enc_top")
+        self.vq_in_0 = nn.Dense(self.embed_dims[0], name="vq_in_0")
+        self.dec_top = nn.Dense(self.hidden_dim, name="dec_top")
+        self.aggregate = nn.Dense(self.embed_dims[1], name="aggregate")
+        self.dec = _DecStack(self.hidden_dim, self.feat_dim, 1)
+
+
+class VAEModel(_BackboneMixin):
+    """dino_vae.py:169-238 capability: top VQ on a strided encoding,
+    bottom VQ conditioned on the decoded top, recon + JSD(top) -
+    0.01*JSD(bottom)."""
+
+    def __init__(self, cfg: Dict[str, Any]):
+        m = cfg["model"]
+        self._setup_backbone(m["pretrained"])
+        vq = m["vq"]
+        self.hidden_dim = m.get("hidden_dim", self.feat_dim)
+        self.embed_dims = tuple(vq["embed_dims"])
+        assert len(self.embed_dims) == 2, "VAE variant uses 2 VQ levels"
+        self.pq_cfgs = [
+            PQConfig(num_pq=1, num_codebook=vq["num_codebooks"][i],
+                     embed_dim=self.embed_dims[i],
+                     vq_type=vq.get("vq_type", "param"),
+                     beta=vq.get("beta", 0.25),
+                     normalize=vq.get("normalize", "none"))
+            for i in range(2)
+        ]
+        self.agg_type = vq.get("agg_type", "concat")
+        self.net = _VAENet(self.hidden_dim, self.feat_dim, self.embed_dims)
+
+    def output_dim(self, output_type: str) -> int:
+        if output_type == "feat":
+            return self.feat_dim
+        return self.embed_dims[int(output_type[2:])]
+
+    def init(self, key, img_hw=(224, 224), backbone_params=None):
+        keys = jax.random.split(key, 4)
+        backbone_params = self._init_backbone(keys[0], img_hw, backbone_params)
+        gh, gw = img_hw[0] // self.patch_size, img_hw[1] // self.patch_size
+        dummy = jnp.zeros((1, gh, gw, self.feat_dim))
+
+        def full(net, x):
+            fb = net.enc_bottom(x)
+            ft = net.enc_top(fb)
+            f0 = net.vq_in_0(ft)
+            d0 = net.dec_top(f0)
+            f1 = net.aggregate(jnp.concatenate([fb, d0], -1))
+            agg = jnp.concatenate(
+                [jnp.zeros_like(f0)[..., : self.embed_dims[0]], f1], -1) \
+                if self.agg_type == "concat" else f1
+            return net.dec(agg, train=True)
+
+        variables = self.net.init(keys[1], dummy, method=full)
+        pq0 = pq_init(keys[2], self.pq_cfgs[0])
+        pq1 = pq_init(keys[3], self.pq_cfgs[1])
+        return (
+            {"backbone": backbone_params, "net": variables["params"],
+             "pq": [pq0[0], pq1[0]]},
+            {"pq": [pq0[1], pq1[1]],
+             "batch_stats": variables.get("batch_stats", {})},
+        )
+
+    def apply(self, params, state, img, img_pos=None, aug_img=None, *,
+              training=False, rng=None, **_):
+        if training and aug_img is not None:
+            img2 = jnp.concatenate([img, aug_img], axis=0)
+        else:
+            img2 = img
+        feat_dino = self.features(params, img2)
+
+        def full(net, x):
+            fb = net.enc_bottom(x)
+            ft = net.enc_top(fb)
+            f0 = net.vq_in_0(ft)
+            zq0, _, aux0, s0 = pq_forward(
+                f0, params["pq"][0], state["pq"][0], self.pq_cfgs[0],
+                training=training, want_prob=training,
+                rng=None if rng is None else jax.random.fold_in(rng, 0))
+            d0 = net.dec_top(zq0)
+            f1 = net.aggregate(jnp.concatenate([fb, d0], -1))
+            zq1, _, aux1, s1 = pq_forward(
+                f1, params["pq"][1], state["pq"][1], self.pq_cfgs[1],
+                training=training, want_prob=training,
+                rng=None if rng is None else jax.random.fold_in(rng, 1))
+            if self.agg_type == "concat":
+                agg = jnp.concatenate([zq0, zq1], -1)
+            else:
+                agg = zq0 + zq1
+            recon = net.dec(agg, train=training)
+            return zq0, zq1, aux0, aux1, (s0, s1), agg, recon
+
+        variables = {"params": params["net"]}
+        if state.get("batch_stats"):
+            variables["batch_stats"] = state["batch_stats"]
+        (zq0, zq1, aux0, aux1, (s0, s1), agg, recon), mutated = self.net.apply(
+            variables, feat_dino, method=full,
+            mutable=["batch_stats"] if training else [])
+
+        aux: Dict[str, Any] = {
+            "vq0-loss": aux0["vq-loss"], "vq1-loss": aux1["vq-loss"],
+            "vq-loss": 0.5 * (aux0["vq-loss"] + aux1["vq-loss"]),
+            "recon-loss": jnp.mean((recon - feat_dino) ** 2),
+        }
+        if training and aug_img is not None:
+            n = zq0.shape[0] // 2
+            p0 = aux0["distance_prob"].reshape(zq0.shape[0], -1,
+                                               self.pq_cfgs[0].num_codebook)
+            p1 = aux1["distance_prob"].reshape(zq1.shape[0], -1,
+                                               self.pq_cfgs[1].num_codebook)
+            pos = jsd_loss(p0[:n].reshape(-1, p0.shape[-1]),
+                           p0[n:].reshape(-1, p0.shape[-1]))
+            neg = jsd_loss(p1[:n].reshape(-1, p1.shape[-1]),
+                           p1[n:].reshape(-1, p1.shape[-1]))
+            aux["contra-loss-pos"] = pos
+            aux["contra-loss-neg"] = neg
+            aux["contra-loss"] = pos - 0.01 * neg   # dino_vae.py:229
+
+        b = img.shape[0]
+        new_state = {"pq": [s0, s1],
+                     "batch_stats": mutated.get(
+                         "batch_stats", state.get("batch_stats", {}))}
+        return {"feat": feat_dino[:b], "code": agg[:b], "z_q": zq1[:b],
+                "feat_vqs": [zq0[:b], zq1[:b]], "aux": aux}, new_state
+
+
+# ---------------------------------------------------------------------------
+# Res — semantic + local encoders, InfoNCE pos + CLUB MI-minimization neg
+# ---------------------------------------------------------------------------
+
+class ResModel(_BackboneMixin):
+    """dino_res.py:15-162 capability.  The reference runs an inner
+    adversarial optimizer loop over the CLUB encoder inside forward
+    (:106-143); here the CLUB likelihood loss is exposed as
+    aux['club-enc-loss'] and the trainer owns its optimizer (the JAX
+    train step is pure), which removes the GradScaler/optimizer
+    side-effects from the model."""
+
+    def __init__(self, cfg: Dict[str, Any]):
+        m = cfg["model"]
+        self._setup_backbone(m["pretrained"])
+        self.hidden_dim = m.get("hidden_dim", 512)
+        self.semantic_enc = _EncStack(self.hidden_dim, m.get("enc_num_blocks", 1))
+        self.local_enc = _EncStack(self.hidden_dim, m.get("enc_num_blocks", 1))
+        self.club = CLUBEncoder(hidden_dim=self.hidden_dim,
+                                out_dim=self.hidden_dim)
+        self.dec = nn.Dense(self.feat_dim)
+        ince = cfg["loss"].get("info_nce", {})
+        self.info_nce_kwargs = dict(
+            normalize=ince.get("normalize", "l2"),
+            neg_sample=ince.get("neg_sample", 10),
+            temperature=ince.get("temperature", 1.0),
+            cal_type=ince.get("cal_type", "random"),
+        )
+
+    def output_dim(self, output_type: str) -> int:
+        return self.hidden_dim
+
+    def init(self, key, img_hw=(224, 224), backbone_params=None):
+        keys = jax.random.split(key, 5)
+        backbone_params = self._init_backbone(keys[0], img_hw, backbone_params)
+        gh, gw = img_hw[0] // self.patch_size, img_hw[1] // self.patch_size
+        dummy = jnp.zeros((1, gh, gw, self.feat_dim))
+        sem = self.semantic_enc.init(keys[1], dummy)["params"]
+        loc = self.local_enc.init(keys[2], dummy)["params"]
+        dummy_h = jnp.zeros((1, gh, gw, self.hidden_dim))
+        club = self.club.init(keys[3], dummy_h)["params"]
+        dec = self.dec.init(
+            keys[4], jnp.zeros((1, gh, gw, 2 * self.hidden_dim)))["params"]
+        return ({"backbone": backbone_params, "semantic": sem, "local": loc,
+                 "club_enc": club, "dec": dec}, {})
+
+    def apply(self, params, state, img, img_pos=None, aug_img=None, *,
+              training=False, rng=None, **_):
+        if training and aug_img is not None:
+            img2 = jnp.concatenate([img, aug_img], axis=0)
+        else:
+            img2 = img
+        feat_dino = self.features(params, img2)
+        semantic = self.semantic_enc.apply({"params": params["semantic"]},
+                                           feat_dino)
+        local = self.local_enc.apply({"params": params["local"]}, feat_dino)
+        recon = self.dec.apply({"params": params["dec"]},
+                               jnp.concatenate([semantic, local], -1))
+        aux: Dict[str, Any] = {"recon-loss": jnp.mean((recon - feat_dino) ** 2)}
+
+        if training and aug_img is not None and rng is not None:
+            b = img.shape[0]
+            aux["info_nce"] = info_nce_loss(
+                jax.random.fold_in(rng, 3), semantic[:b], semantic[b:],
+                **self.info_nce_kwargs)
+            aux["info_nce-loss"] = aux["info_nce"]
+            # CLUB: minimize MI upper bound between semantic and local
+            p_mu, p_logvar = self.club.apply(
+                {"params": jax.lax.stop_gradient(params["club_enc"])},
+                jax.lax.stop_gradient(local[:b]))
+            aux["club-loss"] = club_loss(semantic[:b], p_mu, p_logvar)
+            # CLUB encoder likelihood (trained by its own optimizer on
+            # detached features, dino_res.py:106-131)
+            d_loc = jax.lax.stop_gradient(local)
+            mu2, lv2 = self.club.apply({"params": params["club_enc"]},
+                                       d_loc[:b])
+            flat2 = d_loc[b:].reshape(-1, self.hidden_dim)
+            aux["club-enc-loss"] = jnp.mean(
+                jnp.sum((flat2 - mu2) ** 2 / jnp.exp(lv2) + lv2, axis=-1))
+            semantic = semantic[:b]
+        return {"feat": feat_dino[: img.shape[0]], "code": semantic,
+                "aux": aux}, state
+
+
+# ---------------------------------------------------------------------------
+# Info — chained-VQ recon (dino_info.py:85-124)
+# ---------------------------------------------------------------------------
+
+class InfoModel(UnSegModel):
+    """Same skeleton as UnSeg with the chained projections applied to the
+    running feature (dino_info.py:96-105); reuses UnSegModel machinery."""
+    pass

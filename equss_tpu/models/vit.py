@@ -41,6 +41,11 @@ class ViTConfig:
     ln_eps: float = 1e-6
     pos_grid: int = 28          # sqrt(num_patches) the pos-embed was trained at
     dtype: Any = jnp.float32    # compute dtype (bf16 on TPU for speed)
+    # keep attention logits/softmax in bf16: halves the dominant HBM
+    # traffic (the (b, h, n, n) matrices). The torch reference evaluates
+    # under fp16 autocast (train.py:80), so bf16 here is comparable
+    # numerics; leave False for strict-f32 parity runs.
+    attn_bf16: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -58,13 +63,13 @@ VIT_PRESETS = {
 
 
 def make_vit_config(model_type: str, patch_size: int, dtype=jnp.float32,
-                    img_size: int = 224) -> ViTConfig:
+                    img_size: int = 224, attn_bf16: bool = False) -> ViTConfig:
     if model_type not in VIT_PRESETS:
         raise ValueError(f"Unknown arch {model_type}")
     dim, depth, heads = VIT_PRESETS[model_type]
     return ViTConfig(
         patch_size=patch_size, embed_dim=dim, depth=depth, num_heads=heads,
-        pos_grid=img_size // patch_size, dtype=dtype,
+        pos_grid=img_size // patch_size, dtype=dtype, attn_bf16=attn_bf16,
     )
 
 
@@ -80,11 +85,11 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, cfg.num_heads, cfg.head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]     # (B, N, H, hd)
         scale = cfg.head_dim ** -0.5
+        acc_t = cfg.dtype if (cfg.attn_bf16 and cfg.dtype == jnp.bfloat16)             else jnp.float32
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) * scale
+                          preferred_element_type=acc_t) * scale
         attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(cfg.dtype), v,
-                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(cfg.dtype), v)
         out = out.reshape(B, N, C).astype(cfg.dtype)
         out = nn.Dense(C, dtype=cfg.dtype, name="proj")(out)
         return out, attn

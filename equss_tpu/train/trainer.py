@@ -74,6 +74,8 @@ LOSS_WEIGHT_MAP = {
     "jsd_weight": "jsd",
     "info_nce_weight": "info_nce-loss",
     "margin_weight": "margin-loss",
+    "club_weight": "club-loss",
+    "swav_weight": "swav-loss",
 }
 
 
@@ -105,6 +107,22 @@ class Trainer:
             for wkey, aux_key in LOSS_WEIGHT_MAP.items()
             if float(cfg["loss"].get(wkey, 0.0) or 0.0) > 0.0
         }
+        # nested weights of the variant wrappers:
+        # contra pos/neg (wrapper/UnsegWrapper.py:31-32), entropy rider on
+        # jsd (wrapper/NewVQWrapper.py:34-36), CLUB encoder likelihood
+        # (adversarial aux trained jointly, models/variants.ResModel)
+        contra = cfg["loss"].get("contra_weight", {}) or {}
+        if float(contra.get("pos", 0.0)) > 0.0:
+            self.loss_weights["contra-loss-pos"] = float(contra["pos"])
+        if float(contra.get("neg", 0.0)) > 0.0:
+            self.loss_weights["contra-loss-neg"] = float(contra["neg"])
+        if "jsd" in self.loss_weights:
+            ew = float((cfg["loss"].get("jsd", {}) or {}).get(
+                "entropy_weight", 0.0))
+            if ew > 0.0:
+                self.loss_weights["entropy"] = ew
+        if "club-loss" in self.loss_weights:
+            self.loss_weights["club-enc-loss"] = 1.0
 
         opt_cfg = cfg["optimizer"]
         sch_cfg = cfg.get("scheduler", {})
@@ -160,7 +178,8 @@ class Trainer:
     def _model_loss(self, aux: Dict[str, Any]) -> jnp.ndarray:
         loss = jnp.zeros(())
         for aux_key, w in self.loss_weights.items():
-            loss = loss + w * aux[aux_key]
+            if aux_key in aux:      # variants emit their subset of keys
+                loss = loss + w * aux[aux_key]
         return loss
 
     def _select_out(self, out: Dict[str, Any]) -> jnp.ndarray:
@@ -200,7 +219,9 @@ class Trainer:
             params = dict(ts["params"], **tr["model"])
             out, new_mstate = self.model.apply(
                 params, ts["model_state"], batch["img"],
-                img_pos=batch.get("img_pos"), training=True, rng=step_rng,
+                img_pos=batch.get("img_pos"),
+                aug_img=batch.get("aug_img"),
+                training=True, rng=step_rng,
             )
             aux = out["aux"]
             model_loss = self._model_loss(aux)

@@ -1,0 +1,124 @@
+"""Variant models: one train step + validation each, on tiny shapes."""
+import numpy as np
+import pytest
+
+import jax
+
+from equss_tpu.data.synthetic import synthetic_batches
+from equss_tpu.models.registry import available_models, build_model
+from equss_tpu.parallel.mesh import make_mesh
+from equss_tpu.train.trainer import Trainer
+
+
+def base_cfg(name, **model_extra):
+    cfg = {
+        "seed": 0,
+        "num_classes": 4,
+        "model": {
+            "name": name,
+            "pretrained": {
+                "model_type": "vit_micro", "dino_patch_size": 8,
+                "freeze_backbone": True, "dropout": False, "drop_prob": 0.1,
+            },
+            "hidden_dim": 32,
+            "enc_num_blocks": 1,
+            "dec_num_blocks": 2,
+            "vq": {
+                "vq_type": "param", "num_codebooks": [16], "embed_dims": [32],
+                "beta": 0.25, "normalize": "none", "num_pq": [4],
+                "decay": 0.99, "eps": 1.0e-5, "agg_type": "concat",
+            },
+        },
+        "loss": {
+            "recon_weight": 1.0,
+            "vq_weight": 1.0,
+            "info_nce": {"neg_sample": 4, "temperature": 1.0,
+                         "normalize": "l2", "cal_type": "random"},
+            "jsd": {"temperature": 1.0},
+        },
+        "optimizer": {
+            "model": {"name": "adam", "lr": 3.0e-4},
+            "cluster": {"name": "adam", "lr": 3.0e-3},
+            "linear": {"name": "adam", "lr": 3.0e-3},
+        },
+        "eval": {"output_type": "vq0", "extra_classes": 0},
+        "train": {"max_epochs": 1, "print_interval_iters": 10,
+                  "valid_interval_iters": 100, "clip_grad": 10.0,
+                  "num_accum": 1},
+    }
+    cfg["model"].update(model_extra)
+    return cfg
+
+
+def _run_one(cfg, n_steps=2):
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(16, 16))
+    for batch in synthetic_batches(0, n_steps, batch_size=4, res=16):
+        ts, metrics = trainer.train_step(ts, batch)
+    m = {k: float(v) for k, v in metrics.items()}
+    assert np.isfinite(m["loss"]), m
+    val = trainer.validate(
+        ts, synthetic_batches(1, 1, batch_size=4, res=16, with_pos=False))
+    assert 0 <= val["Cluster_mIoU"] <= 100
+    return m
+
+
+def test_unseg_variant():
+    cfg = base_cfg("hihi")
+    cfg["loss"]["contra_weight"] = {"pos": 0.0, "neg": 0.0}
+    m = _run_one(cfg)
+    assert "recon-loss" not in m or np.isfinite(m.get("recon-loss", 0.0))
+
+
+def test_unseg_multi_vq():
+    cfg = base_cfg("hihi")
+    cfg["model"]["vq"]["num_codebooks"] = [8, 8]
+    cfg["model"]["vq"]["embed_dims"] = [32, 32]
+    cfg["model"]["vq"]["num_pq"] = 1
+    _run_one(cfg)
+
+
+def test_new_vq_variant():
+    cfg = base_cfg("new")
+    cfg["loss"]["info_nce_weight"] = 0.1
+    _run_one(cfg)
+
+
+def test_spq_variant():
+    cfg = base_cfg("spq")
+    cfg["loss"]["jsd_weight"] = 0.1
+    cfg["loss"]["info_nce_weight"] = 0.1
+    cfg["loss"].pop("vq_weight")
+    cfg["loss"].pop("recon_weight")
+    _run_one(cfg)
+
+
+def test_cluster_variant():
+    cfg = base_cfg("cluster")
+    cfg["loss"] = {"margin_weight": 0.1}
+    cfg["eval"]["output_type"] = "feat"
+    _run_one(cfg)
+
+
+def test_vae_variant():
+    cfg = base_cfg("vae")
+    cfg["model"]["vq"]["num_codebooks"] = [8, 8]
+    cfg["model"]["vq"]["embed_dims"] = [16, 16]
+    cfg["loss"]["contra_weight"] = {"pos": 0.1, "neg": 0.01}
+    cfg["eval"]["output_type"] = "vq1"
+    _run_one(cfg)
+
+
+def test_res_variant():
+    cfg = base_cfg("res")
+    cfg["loss"]["club_weight"] = 0.1
+    cfg["loss"]["info_nce_weight"] = 0.1
+    cfg["loss"].pop("vq_weight")
+    cfg["eval"]["output_type"] = "feat"
+    m = _run_one(cfg)
+    assert "loss" in m
+
+
+def test_info_variant():
+    cfg = base_cfg("info")
+    _run_one(cfg)
