@@ -32,6 +32,7 @@ class EvaluatorConfig:
     extra_classes: int = 0
     alpha: float = 2.0          # cluster softmax sharpness (evaluator.py:93)
     probe_res: str = "feat"     # 'feat' (fast) | 'label' (reference-exact)
+    with_cluster: bool = True   # False: supervised linear-only (sl_train.py)
 
 
 class LinearProbe(nn.Module):
@@ -117,30 +118,36 @@ class Evaluator(nn.Module):
             out = resize2d(out, label_hw, "bilinear", align_corners=False)
 
         linear_logits = LinearProbe(cfg.num_classes, name="linear_probe")(out)
-        cluster_loss, cluster_probs = ClusterProbe(
-            cfg.num_classes + cfg.extra_classes, name="cluster_probe"
-        )(out, alpha=cfg.alpha)
+        cluster_probs = None
+        cluster_loss = None
+        if cfg.with_cluster:
+            cluster_loss, cluster_probs = ClusterProbe(
+                cfg.num_classes + cfg.extra_classes, name="cluster_probe"
+            )(out, alpha=cfg.alpha)
 
         if linear_logits.shape[1:3] != label_hw:
             linear_logits = resize2d(linear_logits, label_hw, "bilinear",
                                      align_corners=False)
-            cluster_probs = resize2d(cluster_probs, label_hw, "bilinear",
-                                     align_corners=False)
+            if cluster_probs is not None:
+                cluster_probs = resize2d(cluster_probs, label_hw, "bilinear",
+                                         align_corners=False)
 
         linear_preds = jnp.argmax(linear_logits, axis=-1).astype(jnp.int32)
-        cluster_preds = jnp.argmax(cluster_probs, axis=-1).astype(jnp.int32)
         linear_loss = masked_cross_entropy(linear_logits, label, cfg.num_classes)
 
         result: Dict[str, Any] = {
             "linear_loss": linear_loss,
-            "cluster_loss": cluster_loss,
             "linear_preds": linear_preds,
-            "cluster_preds": cluster_preds,
         }
+        if cluster_probs is not None:
+            result["cluster_loss"] = cluster_loss
+            result["cluster_preds"] = jnp.argmax(
+                cluster_probs, axis=-1).astype(jnp.int32)
         if want_log_probs:
             result["linear_log_probs"] = jax.nn.log_softmax(linear_logits, axis=-1)
-            # CRF branch uses alpha=2 log-softmax of inner products
-            # (evaluator.py:58); recover from probs at label res
-            result["cluster_log_probs"] = jnp.log(
-                jnp.maximum(cluster_probs, 1e-30))
+            if cluster_probs is not None:
+                # CRF branch uses alpha=2 log-softmax of inner products
+                # (evaluator.py:58); recover from probs at label res
+                result["cluster_log_probs"] = jnp.log(
+                    jnp.maximum(cluster_probs, 1e-30))
         return result

@@ -50,13 +50,14 @@ def pq_config_from_dict(vq: Dict[str, Any]) -> PQConfig:
 
 
 def stego_config_from_dict(stego: Dict[str, Any]) -> StegoLossConfig:
+    d = StegoLossConfig()   # defaults when a config omits the block (sl)
     return StegoLossConfig(
-        pos_intra_weight=stego["pos_intra_weight"],
-        pos_inter_weight=stego["pos_inter_weight"],
-        neg_inter_weight=stego["neg_inter_weight"],
-        pos_intra_shift=stego["pos_intra_shift"],
-        pos_inter_shift=stego["pos_inter_shift"],
-        neg_inter_shift=stego["neg_inter_shift"],
+        pos_intra_weight=stego.get("pos_intra_weight", d.pos_intra_weight),
+        pos_inter_weight=stego.get("pos_inter_weight", d.pos_inter_weight),
+        neg_inter_weight=stego.get("neg_inter_weight", d.neg_inter_weight),
+        pos_intra_shift=stego.get("pos_intra_shift", d.pos_intra_shift),
+        pos_inter_shift=stego.get("pos_inter_shift", d.pos_inter_shift),
+        neg_inter_shift=stego.get("neg_inter_shift", d.neg_inter_shift),
         zero_clamp=stego.get("zero_clamp", True),
         pointwise=stego.get("pointwise", True),
         stabilize=stego.get("stabilize", False),

@@ -128,3 +128,20 @@ def _build_info(cfg):
     from equss_tpu.models.variants import InfoModel
 
     return InfoModel(cfg)
+
+
+@register("pqgocls")
+def _build_pqgocls(cfg):
+    from equss_tpu.models.variants import PQGOCLSModel
+
+    return PQGOCLSModel(cfg)
+
+
+@register("sl")
+def _build_sl(cfg):
+    # supervised linear-probe training on the STEGO head
+    # (sl_train.py + wrapper/SupervisedWrapper.py) — the trainer's
+    # supervised mode routes CE gradients into the head
+    from equss_tpu.models.stego import STEGOConfig, STEGOModel
+
+    return STEGOModel(STEGOConfig.from_config(cfg))

@@ -766,3 +766,122 @@ class InfoModel(UnSegModel):
     """Same skeleton as UnSeg with the chained projections applied to the
     running feature (dino_info.py:96-105); reuses UnSegModel machinery."""
     pass
+
+
+# ---------------------------------------------------------------------------
+# PQGO-CLS — student/EMA-teacher heads + per-subspace codeword classifier
+# ---------------------------------------------------------------------------
+
+class PQGOCLSModel(_BackboneMixin):
+    """dino_pqgo_cls.py:16-185: trainable SegmentationHead (student) and a
+    momentum (EMA) teacher head; PQ runs on the (detached) teacher output
+    producing per-subspace pseudo-labels; a grouped per-subspace
+    classifier on the student predicts those labels (CE), plus
+    student<->teacher MSE and the STEGO loss on the student code.
+
+    The EMA head lives in ``state`` and updates functionally each
+    training step (no in-place momentum mutation, :128-134).
+    The grouped Conv1d classifier (:84-88) becomes a per-subspace einsum
+    with weight (M, dsub, K) — identical math, MXU-batched.
+    """
+
+    def __init__(self, cfg: Dict[str, Any]):
+        from equss_tpu.losses.stego import StegoLossConfig, stego_loss
+        from equss_tpu.models.equss import pq_config_from_dict, stego_config_from_dict
+        from equss_tpu.models.heads import SegmentationHead
+
+        m = cfg["model"]
+        self._setup_backbone(m["pretrained"])
+        self.hidden_dim = m["vq"]["embed_dims"][0]
+        self.momentum = m.get("encoder", {}).get("momentum", 0.996)
+        self.pq_cfg = pq_config_from_dict(m["vq"])
+        self.stego_cfg = stego_config_from_dict(cfg["loss"]["stego"])
+        self.head = SegmentationHead(self.hidden_dim)
+        self._stego_loss = stego_loss
+        self.M = self.pq_cfg.num_pq
+        self.K = self.pq_cfg.num_codebook
+        self.dsub = self.pq_cfg.sub_dim
+
+    def output_dim(self, output_type: str) -> int:
+        return self.hidden_dim
+
+    def init(self, key, img_hw=(224, 224), backbone_params=None):
+        keys = jax.random.split(key, 4)
+        backbone_params = self._init_backbone(keys[0], img_hw, backbone_params)
+        gh, gw = img_hw[0] // self.patch_size, img_hw[1] // self.patch_size
+        head_params = self.head.init(
+            keys[1], jnp.zeros((1, gh, gw, self.feat_dim)))["params"]
+        pq_params, pq_state = pq_init(keys[2], self.pq_cfg)
+        # grouped classifier: (M, dsub, K) weight + (M, K) bias
+        w = jax.random.normal(keys[3], (self.M, self.dsub, self.K)) * (
+            1.0 / jnp.sqrt(self.dsub))
+        params = {
+            "backbone": backbone_params, "head": head_params,
+            "pq": pq_params,
+            "classifier": {"w": w.astype(jnp.float32),
+                           "b": jnp.zeros((self.M, self.K), jnp.float32)},
+        }
+        # EMA teacher initialized from the student (dino_pqgo_cls.py:34-36)
+        state = {"pq": pq_state,
+                 "ema_head": jax.tree.map(jnp.copy, head_params)}
+        return params, state
+
+    def apply(self, params, state, img, img_pos=None, aug_img=None, *,
+              training=False, rng=None, **_):
+        from equss_tpu.models.heads import dropout2d as drop2d
+
+        keys = (jax.random.split(rng, 4) if rng is not None else [None] * 4)
+        feat = self.features(params, img)
+        if training and self.dropout:
+            feat = drop2d(keys[0], feat, self.drop_prob)
+        z_student = self.head.apply({"params": params["head"]}, feat)
+
+        aug = aug_img if aug_img is not None else img
+        feat_aug = self.features(params, aug)
+        if training and self.dropout:
+            feat_aug = drop2d(keys[1], feat_aug, self.drop_prob)
+
+        # momentum update + teacher forward (no gradient)
+        ema_head = state["ema_head"]
+        if training:
+            ema_head = jax.tree.map(
+                lambda k_, q: k_ * self.momentum + q * (1.0 - self.momentum),
+                ema_head, jax.lax.stop_gradient(params["head"]))
+        z_teacher = jax.lax.stop_gradient(
+            self.head.apply({"params": ema_head}, feat_aug))
+
+        z_q, pseudo, aux, pq_state = pq_forward(
+            z_teacher, params["pq"], state["pq"], self.pq_cfg,
+            training=training, rng=keys[2],
+        )
+
+        def l2n(x):
+            return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                                   1e-12)
+
+        aux["mse-loss"] = jnp.mean(
+            (l2n(z_student) - jax.lax.stop_gradient(l2n(z_teacher))) ** 2)
+
+        if training:
+            if img_pos is None:
+                raise ValueError("training forward requires img_pos")
+            feat_pos = self.features(params, img_pos)
+            if self.dropout:
+                feat_pos = drop2d(keys[3], feat_pos, self.drop_prob)
+            code_pos = self.head.apply({"params": params["head"]}, feat_pos)
+            aux["stego-loss"] = self._stego_loss(
+                keys[2], feat, feat_pos, z_student, code_pos, self.stego_cfg)
+
+        # grouped per-subspace classifier + CE on pseudo-labels
+        zs = z_student.reshape(-1, self.M, self.dsub)
+        logits = jnp.einsum("nmd,mdk->nmk", zs, params["classifier"]["w"],
+                            preferred_element_type=jnp.float32)
+        logits = logits + params["classifier"]["b"][None]
+        labels = jax.lax.stop_gradient(pseudo.reshape(-1, self.M))
+        log_p = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)
+        aux["cls-loss"] = jnp.mean(ce)
+
+        new_state = {"pq": pq_state, "ema_head": ema_head}
+        return {"feat": feat, "code": z_student, "z_q": z_q,
+                "indices": pseudo, "aux": aux}, new_state

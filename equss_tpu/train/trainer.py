@@ -93,12 +93,19 @@ class Trainer:
         self.model = model or build_model(cfg)
         self.mesh = mesh if mesh is not None else make_mesh()
 
+        # supervised mode (sl_train.py): CE gradients flow into the model
+        # head; no cluster probe (wrapper/SupervisedWrapper.py)
+        self.supervised = bool(
+            cfg.get("train", {}).get("supervised", False)
+            or cfg.get("model", {}).get("name") == "sl"
+        )
         self.out_dim = self.model.output_dim(self.tc.output_type)
         self.evaluator = Evaluator(EvaluatorConfig(
             embed_dim=self.out_dim,
             num_classes=self.tc.num_classes,
             extra_classes=self.tc.extra_classes,
             probe_res=cfg.get("eval", {}).get("probe_res", "feat"),
+            with_cluster=not self.supervised,
         ))
         self._backbone_params = backbone_params
 
@@ -166,7 +173,8 @@ class Trainer:
             "model_state": model_state,
             "opt": {
                 "model": self.tx_model.init(trainable_model),
-                "cluster": self.tx_cluster.init(probe_params["cluster_probe"]),
+                "cluster": self.tx_cluster.init(
+                    probe_params.get("cluster_probe", {})),
                 "linear": self.tx_linear.init(probe_params["linear_probe"]),
             },
             "step": jnp.zeros((), jnp.int32),
@@ -191,7 +199,9 @@ class Trainer:
             sel = out["z_q"]
         else:
             sel = out["code"]
-        return jax.lax.stop_gradient(sel)
+        # supervised: probe CE trains the head end-to-end (sl_train.py);
+        # otherwise probes see detached features (PQGOWrapper.py:89-91)
+        return sel if self.supervised else jax.lax.stop_gradient(sel)
 
     @staticmethod
     def _trainable(params: Dict[str, Any]) -> Dict[str, Any]:
@@ -228,13 +238,14 @@ class Trainer:
             ev = self.evaluator.apply(
                 {"params": tr["probes"]}, self._select_out(out), batch["label"]
             )
-            total = model_loss + ev["linear_loss"] + ev["cluster_loss"]
+            total = model_loss + ev["linear_loss"] + ev.get("cluster_loss", 0.0)
             metrics = {
                 "loss": total,
                 "model-loss": model_loss,
                 "linear-loss": ev["linear_loss"],
-                "cluster-loss": ev["cluster_loss"],
             }
+            if "cluster_loss" in ev:
+                metrics["cluster-loss"] = ev["cluster_loss"]
             for k in ("stego-loss", "vq-loss", "codebook-usage", "codebook-sum",
                       "jsd", "entropy"):
                 if k in aux:
@@ -250,12 +261,16 @@ class Trainer:
         up_m, opt_m = self.tx_model.update(
             grads["model"], ts["opt"]["model"], old_model)
         new_model = jax.tree.map(lambda p, u: p + u, old_model, up_m)
-        up_c, opt_c = self.tx_cluster.update(
-            grads["probes"]["cluster_probe"], ts["opt"]["cluster"],
-            ts["probe_params"]["cluster_probe"],
-        )
-        new_cluster = jax.tree.map(
-            lambda p, u: p + u, ts["probe_params"]["cluster_probe"], up_c)
+        if "cluster_probe" in ts["probe_params"]:
+            up_c, opt_c = self.tx_cluster.update(
+                grads["probes"]["cluster_probe"], ts["opt"]["cluster"],
+                ts["probe_params"]["cluster_probe"],
+            )
+            new_cluster = jax.tree.map(
+                lambda p, u: p + u, ts["probe_params"]["cluster_probe"], up_c)
+        else:
+            opt_c = ts["opt"]["cluster"]
+            new_cluster = None
         up_l, opt_l = self.tx_linear.update(
             grads["probes"]["linear_probe"], ts["opt"]["linear"],
             ts["probe_params"]["linear_probe"],
@@ -263,12 +278,12 @@ class Trainer:
         new_linear = jax.tree.map(
             lambda p, u: p + u, ts["probe_params"]["linear_probe"], up_l)
 
+        new_probes = {"linear_probe": new_linear}
+        if new_cluster is not None:
+            new_probes["cluster_probe"] = new_cluster
         new_ts = {
             "params": dict(ts["params"], **new_model),
-            "probe_params": {
-                "cluster_probe": new_cluster,
-                "linear_probe": new_linear,
-            },
+            "probe_params": new_probes,
             "model_state": new_mstate,
             "opt": {"model": opt_m, "cluster": opt_c, "linear": opt_l},
             "step": ts["step"] + 1,
@@ -288,16 +303,18 @@ class Trainer:
             batch["label"],
         )
         n, e = self.tc.num_classes, self.tc.extra_classes
-        cluster_conf = confusion_update(ev["cluster_preds"], batch["label"], n, e)
         linear_conf = confusion_update(ev["linear_preds"], batch["label"], n, 0)
-        return {
-            "cluster_conf": cluster_conf,
+        res = {
             "linear_conf": linear_conf,
             "linear_loss": ev["linear_loss"],
-            "cluster_loss": ev["cluster_loss"],
             "linear_preds": ev["linear_preds"],
-            "cluster_preds": ev["cluster_preds"],
         }
+        if "cluster_preds" in ev:
+            res["cluster_conf"] = confusion_update(
+                ev["cluster_preds"], batch["label"], n, e)
+            res["cluster_loss"] = ev["cluster_loss"]
+            res["cluster_preds"] = ev["cluster_preds"]
+        return res
 
     # --------------------------------------------------------------- CRF eval
     def _valid_crf_step_impl(self, ts: Dict[str, Any], batch: Dict[str, Any]):
@@ -360,24 +377,33 @@ class Trainer:
         linear_m = UnSegMetrics(self.tc.num_classes, 0,
                                 compute_hungarian=False)
         losses = []
+        has_cluster = True
         for batch in val_iter:
             res = self.valid_step(ts, batch)
-            cluster_m.update_confusion(res["cluster_conf"])
+            has_cluster = "cluster_conf" in res
+            if has_cluster:
+                cluster_m.update_confusion(res["cluster_conf"])
             linear_m.update_confusion(res["linear_conf"])
             losses.append((float(res["linear_loss"]),
-                           float(res["cluster_loss"])))
-        cluster = cluster_m.compute()
+                           float(res.get("cluster_loss", 0.0))))
         linear = linear_m.compute()
         lin_l = float(np.mean([x[0] for x in losses])) if losses else 0.0
         clu_l = float(np.mean([x[1] for x in losses])) if losses else 0.0
-        return {
-            "Cluster_mIoU": cluster["iou"],
-            "Cluster_Accuracy": cluster["accuracy"],
+        out = {
             "Linear_mIoU": linear["iou"],
             "Linear_Accuracy": linear["accuracy"],
             "val_linear_loss": lin_l,
             "val_cluster_loss": clu_l,
         }
+        if has_cluster:
+            cluster = cluster_m.compute()
+            out["Cluster_mIoU"] = cluster["iou"]
+            out["Cluster_Accuracy"] = cluster["accuracy"]
+        else:
+            # keep the best-checkpoint key well-defined in supervised runs
+            out["Cluster_mIoU"] = linear["iou"]
+            out["Cluster_Accuracy"] = linear["accuracy"]
+        return out
 
     def fit(
         self,

