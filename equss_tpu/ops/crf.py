@@ -41,6 +41,9 @@ class CRFConfig:
     bi_xy_std: float = 67.0
     bi_rgb_std: float = 3.0
     block: int = 512          # row-block size for the streamed kernel
+    # pydensecrf keeps the self term in messages (Krähenbühl notes it is
+    # insignificant); True gives the textbook-exact mean field instead
+    exclude_self: bool = False
 
 
 def _bilateral_features(img_rgb255: jnp.ndarray, cfg: CRFConfig) -> jnp.ndarray:
@@ -141,15 +144,16 @@ def dense_crf(
     q = jax.nn.softmax(log_p, axis=-1)
 
     def body(q, _):
-        # bilateral message: D^-1/2 K D^-1/2 q, minus the self term
+        # bilateral message: D^-1/2 K D^-1/2 q
         qs = q * inv_sqrt_bi[:, None]
         m_bi = _blocked_kernel_apply(feats, qs, cfg.block) * inv_sqrt_bi[:, None]
-        m_bi = m_bi - q * (inv_sqrt_bi**2)[:, None]
         # spatial message via conv
         q2 = (q * inv_sqrt_sp.reshape(n)[:, None]).reshape(H, W, C)
         m_sp = (_gaussian_conv(q2, cfg.pos_xy_std).reshape(n, C)
                 * inv_sqrt_sp.reshape(n)[:, None])
-        m_sp = m_sp - q * (inv_sqrt_sp.reshape(n) ** 2)[:, None]
+        if cfg.exclude_self:
+            m_bi = m_bi - q * (inv_sqrt_bi**2)[:, None]
+            m_sp = m_sp - q * (inv_sqrt_sp.reshape(n) ** 2)[:, None]
         # Potts compatibility: energy -w * msg -> logits += w * msg
         logits = log_p + cfg.pos_w * m_sp + cfg.bi_w * m_bi
         return jax.nn.softmax(logits, axis=-1), None
@@ -180,7 +184,9 @@ def dense_crf_naive(img, log_probs, cfg: CRFConfig = CRFConfig()) -> jnp.ndarray
         deg = jnp.sum(k, axis=-1)
         inv = jax.lax.rsqrt(jnp.maximum(deg, 1e-20))
         kn = k * inv[:, None] * inv[None, :]
-        return kn - jnp.diag(jnp.diag(kn))     # exclude self
+        if cfg.exclude_self:
+            kn = kn - jnp.diag(jnp.diag(kn))
+        return kn
 
     kn_bi = norm(k_bi)
     kn_sp = norm(k_sp)
