@@ -102,12 +102,59 @@ def run(cfg: Dict[str, Any]) -> Dict[str, Any]:
     return result
 
 
+def run_crop_job(cfg: Dict[str, Any]) -> None:
+    """Five-crop materialization (data/crop_dataset.py my_app)."""
+    from equss_tpu.data.jobs import materialize_crops
+
+    d = cfg["dataset"]["train"]
+    out = materialize_crops(
+        d["dataset_name"], d["data_dir"],
+        mode="train", crop_type=d.get("crop_type", "five"),
+        crop_ratio=d.get("crop_ratio", 0.5),
+    )
+    print(f"cropped corpus written to {out}")
+
+
+def run_knn_job(cfg: Dict[str, Any]) -> None:
+    """kNN-positive cache precompute (data/precompute_knns.py my_app)."""
+    import os
+
+    from equss_tpu.data.jobs import precompute_knns
+    from equss_tpu.data.pipeline import build_data
+    from equss_tpu.models.registry import build_model
+
+    model = build_model(cfg)
+    params, _ = model.init(
+        __import__("jax").random.PRNGKey(cfg.get("seed", 0)),
+        img_hw=(cfg["dataset"]["train"]["res"],) * 2,
+        backbone_params=_load_backbone(cfg),
+    )
+    d = cfg["dataset"]["train"]
+    data = build_data(cfg, "train", seed=cfg.get("seed", 0))
+    out_path = os.path.join(
+        d["data_dir"], "nns",
+        f"nns_{d.get('model_type', 'vit_small')}_{d['dataset_name']}_train_"
+        f"{d.get('crop_type')}_224.npz",
+    )
+    print("->", precompute_knns(model, params, data, out_path, k=30))
+
+
 def main(argv: Optional[List[str]] = None):
+    import sys as _sys
+
     from equss_tpu.core.config import prepare_config
     from equss_tpu.core.random import set_seed
 
+    argv = list(_sys.argv[1:]) if argv is None else list(argv)
+    job = "train"
+    if argv and argv[0] in ("train", "crop", "knn"):
+        job = argv.pop(0)
     cfg, _ = prepare_config(argv)
     set_seed(cfg.get("seed", 0))
+    if job == "crop":
+        return run_crop_job(cfg)
+    if job == "knn":
+        return run_knn_job(cfg)
     return run(cfg)
 
 

@@ -221,3 +221,45 @@ def jsd_pos_loss(
         return jnp.sum(target * (jnp.log(jnp.maximum(target, 1e-30)) - log_input)) / log_input.shape[0]
 
     return 0.5 * (kl(log_m, pf) + kl(log_m, qf))
+
+
+def proxy_loss(
+    key: jax.Array,
+    queue: jnp.ndarray,           # (n_cluster, queue_size, d)
+    centroids: jnp.ndarray,       # (n_cluster, d)
+    *,
+    temperature: float = 1.0,
+    num_queries: int = 50,
+    num_neg: int = 256,
+) -> jnp.ndarray:
+    """Proxy InfoNCE over per-cluster memory queues (loss.py:206-265):
+    for each cluster, random queries from its queue must score their
+    centroid above random negatives drawn from the other clusters'
+    queues.  Vectorized over clusters (the reference loops)."""
+    n_cluster, q_size, d = queue.shape
+    k_q, k_n = jax.random.split(key)
+
+    q_idx = jax.random.randint(k_q, (n_cluster, num_queries), 0, q_size)
+    queries = jnp.take_along_axis(queue, q_idx[..., None], axis=1)
+
+    # negatives: global pool with own-cluster entries masked by resampling
+    flat = queue.reshape(n_cluster * q_size, d)
+    neg_idx = jax.random.randint(
+        k_n, (n_cluster, num_queries * num_neg), 0, (n_cluster - 1) * q_size)
+    # skip over the own cluster's contiguous block
+    own_start = (jnp.arange(n_cluster) * q_size)[:, None]
+    neg_idx = jnp.where(neg_idx >= own_start, neg_idx + q_size, neg_idx)
+    negs = flat[neg_idx].reshape(n_cluster, num_queries, num_neg, d)
+
+    cands = jnp.concatenate(
+        [jnp.broadcast_to(centroids[:, None, None, :],
+                          (n_cluster, num_queries, 1, d)), negs], axis=2)
+
+    def l2n(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                               1e-12)
+
+    logits = jnp.einsum("cqd,cqkd->cqk", l2n(queries), l2n(cands),
+                        preferred_element_type=jnp.float32) / temperature
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(log_p[..., 0])

@@ -130,6 +130,13 @@ def _build_info(cfg):
     return InfoModel(cfg)
 
 
+@register("ema")
+def _build_ema(cfg):
+    from equss_tpu.models.variants import EMAModel
+
+    return EMAModel(cfg)
+
+
 @register("pqgocls")
 def _build_pqgocls(cfg):
     from equss_tpu.models.variants import PQGOCLSModel

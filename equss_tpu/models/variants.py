@@ -885,3 +885,138 @@ class PQGOCLSModel(_BackboneMixin):
         new_state = {"pq": pq_state, "ema_head": ema_head}
         return {"feat": feat, "code": z_student, "z_q": z_q,
                 "indices": pseudo, "aux": aux}, new_state
+
+
+# ---------------------------------------------------------------------------
+# EMA — student/EMA head + k-means memory bank + proxy loss
+# ---------------------------------------------------------------------------
+
+class EMAModel(_BackboneMixin):
+    """dino_ema.py:15-104 capability: student/EMA SegmentationHead pair,
+    a per-cluster memory bank initialized by k-means over teacher
+    features (the reference used faiss GPU k-means, :84-99 — here
+    ops/kmeans runs on device), and a proxy InfoNCE against cluster
+    centroids.  All bank state (centroids, fixed-size queues, init flag)
+    is functional, so the step stays pure under jit — the reference kept
+    Python lists of growing tensors (:46-49), which cannot shard.
+    NOTE: this variant was disabled in the reference's own builder
+    (build.py:24, import commented); included for inventory completeness.
+    """
+
+    def __init__(self, cfg: Dict[str, Any]):
+        from equss_tpu.models.heads import SegmentationHead
+
+        m = cfg["model"]
+        self._setup_backbone(m["pretrained"])
+        self.hidden_dim = m.get("hidden_dim", 70)
+        self.momentum = m.get("encoder", {}).get("momentum", 0.996)
+        mb = m.get("memory_bank", {})
+        self.n_cluster = mb.get("n_cluster", 27)
+        self.queue_size = mb.get("queue_size", 64)
+        self.num_support = mb.get("num_support", 16)
+        self.enqueue_k = mb.get("enqueue_k", 4)
+        ince = cfg["loss"].get("info_nce", {})
+        self.proxy_kwargs = dict(
+            temperature=ince.get("temperature", 1.0),
+            num_queries=ince.get("num_queries", 16),
+            num_neg=ince.get("num_neg", 64),
+        )
+        self.head = SegmentationHead(self.hidden_dim)
+
+    def output_dim(self, output_type: str) -> int:
+        return self.hidden_dim
+
+    def init(self, key, img_hw=(224, 224), backbone_params=None):
+        k0, k1 = jax.random.split(key)
+        backbone_params = self._init_backbone(k0, img_hw, backbone_params)
+        gh, gw = img_hw[0] // self.patch_size, img_hw[1] // self.patch_size
+        head_params = self.head.init(
+            k1, jnp.zeros((1, gh, gw, self.feat_dim)))["params"]
+        state = {
+            "ema_head": jax.tree.map(jnp.copy, head_params),
+            "centroid": jnp.zeros((self.n_cluster, self.hidden_dim)),
+            "queue": jnp.zeros((self.n_cluster, self.queue_size,
+                                self.hidden_dim)),
+            "bank_initialized": jnp.zeros((), jnp.int32),
+        }
+        return {"backbone": backbone_params, "head": head_params}, state
+
+    def _init_bank(self, key, z_flat):
+        from equss_tpu.ops.kmeans import kmeans
+
+        cents, assign = kmeans(key, z_flat, k=self.n_cluster, n_iters=10)
+        # queues seeded with the closest supports per centroid
+        d2 = (
+            jnp.sum(z_flat**2, -1)[None, :]
+            + jnp.sum(cents**2, -1)[:, None]
+            - 2.0 * cents @ z_flat.T
+        )                                      # (n_cluster, n)
+        _, idx = jax.lax.top_k(-d2, self.queue_size)
+        queue = z_flat[idx]                    # (n_cluster, queue_size, d)
+        return cents, queue
+
+    def apply(self, params, state, img, img_pos=None, aug_img=None, *,
+              training=False, rng=None, **_):
+        from equss_tpu.models.heads import dropout2d as drop2d
+
+        keys = jax.random.split(rng, 4) if rng is not None else [None] * 4
+        feat = self.features(params, img)
+        if training and self.dropout:
+            feat = drop2d(keys[0], feat, self.drop_prob)
+        z_student = self.head.apply({"params": params["head"]}, feat)
+
+        aux: Dict[str, Any] = {}
+        new_state = dict(state)
+        if training:
+            ema_head = jax.tree.map(
+                lambda k_, q: k_ * self.momentum + q * (1.0 - self.momentum),
+                state["ema_head"], jax.lax.stop_gradient(params["head"]))
+            aug = aug_img if aug_img is not None else img
+            feat_t = self.features(params, aug)
+            z_teacher = jax.lax.stop_gradient(
+                self.head.apply({"params": ema_head}, feat_t))
+            z_flat = z_teacher.reshape(-1, self.hidden_dim)
+
+            def do_init(_):
+                return self._init_bank(keys[1], z_flat)
+
+            def keep(_):
+                return state["centroid"], state["queue"]
+
+            centroid, queue = jax.lax.cond(
+                state["bank_initialized"] == 0, do_init, keep, None)
+
+            # assign teacher pixels to centroids; enqueue the closest
+            # enqueue_k per cluster (functional ring update)
+            d2 = (
+                jnp.sum(z_flat**2, -1)[None, :]
+                + jnp.sum(centroid**2, -1)[:, None]
+                - 2.0 * centroid @ z_flat.T
+            )
+            assign = jnp.argmin(d2, axis=0)                    # (n,)
+            mask = jax.nn.one_hot(assign, self.n_cluster).T    # (C, n)
+            score = jnp.where(mask > 0, -d2, -jnp.inf)
+            _, close_idx = jax.lax.top_k(score, self.enqueue_k)
+            new_items = z_flat[close_idx]                      # (C, k, d)
+            queue = jnp.concatenate(
+                [new_items, queue[:, : self.queue_size - self.enqueue_k]],
+                axis=1)
+            # EMA centroid update toward assigned means
+            counts = jnp.maximum(mask.sum(-1), 1.0)
+            means = (mask @ z_flat) / counts[:, None]
+            centroid = jnp.where(
+                (mask.sum(-1) > 0)[:, None],
+                0.9 * centroid + 0.1 * means, centroid)
+
+            from equss_tpu.losses.basic import proxy_loss
+
+            aux["info_nce-loss"] = proxy_loss(
+                keys[2], queue, centroid, **self.proxy_kwargs)
+            aux["proxy-loss"] = aux["info_nce-loss"]
+            aux["mse-loss"] = jnp.mean((z_student - z_teacher) ** 2)
+
+            new_state = {
+                "ema_head": ema_head, "centroid": centroid, "queue": queue,
+                "bank_initialized": jnp.ones((), jnp.int32),
+            }
+        return {"feat": feat, "code": z_student, "aux": aux}, new_state

@@ -62,3 +62,32 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     """Fully replicate a pytree (params/state) across the mesh."""
     sh = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def broadcast_object(obj, is_source: bool = True):
+    """Object broadcast from process 0 (replaces the byte-buffer pickle
+    broadcast of dist_utils.py:153-187, e.g. the wandb save-dir sync,
+    wandb_utils.py:56-57).  No-op on a single process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils
+    import numpy as np
+    import pickle
+
+    payload = pickle.dumps(obj) if is_source else b""
+    arr = np.frombuffer(payload.ljust(65536, b"\0"), dtype=np.uint8).copy()
+    out = multihost_utils.broadcast_one_to_all(arr)
+    data = bytes(out).rstrip(b"\0")
+    return pickle.loads(data)
+
+
+def barrier(name: str = "barrier") -> None:
+    """Global device sync (dist_utils.py barrier / train.py:351,512)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)

@@ -164,3 +164,25 @@ def test_supervised_sl_mode():
     val = trainer.validate(
         ts, synthetic_batches(1, 2, batch_size=8, res=16, with_pos=False))
     assert val["Linear_Accuracy"] >= 0
+
+
+def test_ema_variant_memory_bank():
+    cfg = base_cfg("ema")
+    cfg["model"]["hidden_dim"] = 16
+    cfg["model"]["encoder"] = {"momentum": 0.9}
+    cfg["model"]["memory_bank"] = {"n_cluster": 4, "queue_size": 8,
+                                   "num_support": 4, "enqueue_k": 2}
+    cfg["loss"] = {"info_nce_weight": 0.5, "mse_weight": 1.0,
+                   "info_nce": {"temperature": 0.5, "num_queries": 4,
+                                "num_neg": 8}}
+    cfg["eval"]["output_type"] = "feat"
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    import jax as _jax
+    ts = trainer.init_state(_jax.random.PRNGKey(0), img_hw=(16, 16))
+    assert int(ts["model_state"]["bank_initialized"]) == 0
+    for batch in synthetic_batches(0, 2, batch_size=4, res=16):
+        ts, metrics = trainer.train_step(ts, batch)
+    assert int(ts["model_state"]["bank_initialized"]) == 1
+    q = np.asarray(ts["model_state"]["queue"])
+    assert np.abs(q).sum() > 0, "memory bank never filled"
+    assert np.isfinite(float(metrics["loss"]))
