@@ -80,9 +80,14 @@ class EQUSSConfig:
     stego: StegoLossConfig = dataclasses.field(default_factory=StegoLossConfig)
 
     @staticmethod
-    def from_config(cfg: Dict[str, Any], dtype=jnp.float32) -> "EQUSSConfig":
+    def from_config(cfg: Dict[str, Any], dtype=None) -> "EQUSSConfig":
         m = cfg["model"]
         pre = m["pretrained"]
+        # model.pretrained.precision: 'f32' (default) | 'bf16' — bf16 is
+        # the analogue of the reference's fp16 autocast (train.py:80)
+        precision = pre.get("precision", "f32")
+        if dtype is None:
+            dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
         return EQUSSConfig(
             model_type=pre["model_type"],
             patch_size=pre["dino_patch_size"],
@@ -91,6 +96,7 @@ class EQUSSConfig:
             drop_prob=pre.get("drop_prob", 0.1),
             freeze_backbone=pre.get("freeze_backbone", True),
             backbone_dtype=dtype,
+            attn_bf16=(precision == "bf16"),
             pq=pq_config_from_dict(m["vq"]),
             stego=stego_config_from_dict(cfg["loss"]["stego"]),
         )
@@ -175,19 +181,23 @@ class EQUSS:
         if rng is not None:
             k_drop, k_drop_pos, k_pq, k_stego = jax.random.split(rng, 4)
 
-        feat = self.features(params, img)
-        if training and cfg.dropout:
-            feat = dropout2d(k_drop, feat, cfg.drop_prob)
-        code = self.encode(params, feat)
-
         feat_pos = code_pos = None
         if training:
             if img_pos is None:
                 raise ValueError("training forward requires img_pos (kNN positive)")
-            feat_pos = self.features(params, img_pos)
+            # ONE backbone forward over [img; img_pos]: the reference runs
+            # the frozen ViT twice (dino_pqgo.py:125,132); batching halves
+            # kernel launches and doubles the matmul M-dim on the MXU
+            b = img.shape[0]
+            both = self.features(params, jnp.concatenate([img, img_pos], 0))
             if cfg.dropout:
-                feat_pos = dropout2d(k_drop_pos, feat_pos, cfg.drop_prob)
-            code_pos = self.encode(params, feat_pos)
+                both = dropout2d(k_drop, both, cfg.drop_prob)
+            code_both = self.encode(params, both)
+            feat, feat_pos = both[:b], both[b:]
+            code, code_pos = code_both[:b], code_both[b:]
+        else:
+            feat = self.features(params, img)
+            code = self.encode(params, feat)
 
         z_q, indices, aux, pq_state = pq_forward(
             code, params["pq"], state["pq"], cfg.pq,
