@@ -83,6 +83,16 @@ def run(cfg: Dict[str, Any]) -> Dict[str, Any]:
 
     train_batches, val_batches, res = _make_batch_fns(cfg)
     trainer = Trainer(cfg, backbone_params=_load_backbone(cfg))
+    profile_dir = cfg.get("train", {}).get("profile_dir")
+    if profile_dir:
+        # capture an xplane trace of the first steps (the reference only
+        # had wall-clock prints, train.py:137-138; SURVEY §5)
+        import jax as _jax
+
+        _jax.profiler.start_trace(profile_dir)
+        import atexit
+
+        atexit.register(_jax.profiler.stop_trace)
     ckpt = CheckpointManager(os.path.join(save_dir, "ckpt"))
 
     result = trainer.fit(train_batches, val_batches, logger=logger,

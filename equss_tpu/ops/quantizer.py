@@ -389,6 +389,15 @@ def pq_forward(
         new_state["vq_count"] = state["vq_count"] + count
         usage = jnp.mean(jnp.sum((count > 0).astype(jnp.float32), axis=-1) / K)
         aux["codebook-usage"] = usage
+        # usage-CDF percentiles, subspace-averaged (quantizer.py:15-30
+        # get_histogram_count telemetry: fraction of codewords covering
+        # 10/50/90% of assignments)
+        prob = count / (jnp.sum(count, axis=-1, keepdims=True) + 1.0)
+        prob = jnp.sort(prob, axis=-1)[:, ::-1]
+        c_sum = jnp.cumsum(prob, axis=-1)
+        for q in (10, 50, 90):
+            idx_q = jnp.argmax(c_sum >= q / 100.0, axis=-1)
+            aux[f"current-p{q}"] = jnp.mean(idx_q / K)
 
         if cfg.vq_type == "ema":
             # EMA sums use the *unnormalized* z (dino_pqgo.py:417)
