@@ -130,6 +130,13 @@ def _build_info(cfg):
     return InfoModel(cfg)
 
 
+@register("contra")
+def _build_contra(cfg):
+    from equss_tpu.models.variants import ContraModel
+
+    return ContraModel(cfg)
+
+
 @register("ema")
 def _build_ema(cfg):
     from equss_tpu.models.variants import EMAModel

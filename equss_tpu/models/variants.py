@@ -1020,3 +1020,77 @@ class EMAModel(_BackboneMixin):
                 "bank_initialized": jnp.ones((), jnp.int32),
             }
         return {"feat": feat, "code": z_student, "aux": aux}, new_state
+
+
+# ---------------------------------------------------------------------------
+# Contra — unseg skeleton over [img; photometric-aug] with JSD contrast
+# ---------------------------------------------------------------------------
+
+class ContraModel(UnSegModel):
+    """dino_contra.py:139-276: the chained multi-VQ/enc/dec skeleton run
+    on the concatenated (img, aug) batch; JSD between the aug halves of
+    the FIRST VQ's assignment distribution is the positive contrast and
+    of the LAST VQ's the negative (:252-257).  The reference's host-side
+    sklearn k-means positive-sampling stage (stage==1, :143-200) maps to
+    ops/kmeans + the kNN-positive pipeline; the T-SNE dump side effect
+    (:263-272) belongs to analysis tooling, not the training step."""
+
+    def apply(self, params, state, img, img_pos=None, aug_img=None, *,
+              training=False, rng=None, **_):
+        if training and aug_img is not None:
+            img2 = jnp.concatenate([img, aug_img], axis=0)
+        else:
+            img2 = img
+        feat_dino = self.features(params, img2)
+
+        def full(net, feat):
+            f = net.encode(feat)
+            outs = {}
+            feat_vqs = []
+            pq_states = []
+            probs = []
+            for i in range(self.num_vq):
+                fi = net.vq_input(i, f)
+                z_q, idx, aux, new_s = pq_forward(
+                    fi, params["pq"][i], state["pq"][i], self.pq_cfgs[i],
+                    training=training, want_prob=training,
+                    rng=None if rng is None else jax.random.fold_in(rng, i),
+                )
+                pq_states.append(new_s)
+                feat_vqs.append(z_q)
+                probs.append(aux.get("distance_prob"))
+                outs[f"vq{i}-loss"] = aux["vq-loss"]
+                if i < self.num_vq - 1:
+                    f = net.vq_output(i, f, z_q)
+            agg, recon = net.decode(feat_vqs, train=training)
+            return agg, feat_vqs, outs, pq_states, probs, recon
+
+        variables = {"params": params["net"]}
+        if state.get("batch_stats"):
+            variables["batch_stats"] = state["batch_stats"]
+        (agg, feat_vqs, outs, pq_states, probs, recon), mutated = \
+            self.net.apply(variables, feat_dino, method=full,
+                           mutable=["batch_stats"] if training else [])
+        outs["recon-loss"] = jnp.mean((recon - feat_dino) ** 2)
+        outs["vq-loss"] = sum(
+            outs[f"vq{i}-loss"] for i in range(self.num_vq)) / self.num_vq
+
+        b = img.shape[0]
+        if training and aug_img is not None and probs[0] is not None:
+            def halves_jsd(p):
+                K = p.shape[-1]
+                flat = p.reshape(p.shape[0], -1, K)
+                n = flat.shape[0] // 2
+                return jsd_loss(flat[:n].reshape(-1, K),
+                                flat[n:].reshape(-1, K))
+
+            outs["contra-loss-pos"] = halves_jsd(probs[0])
+            outs["contra-loss-neg"] = halves_jsd(probs[-1])
+
+        new_state = {"pq": pq_states,
+                     "batch_stats": mutated.get(
+                         "batch_stats", state.get("batch_stats", {}))}
+        return {"feat": feat_dino[:b], "code": agg[:b],
+                "z_q": feat_vqs[0][:b],
+                "feat_vqs": [v[:b] for v in feat_vqs],
+                "aux": outs}, new_state

@@ -186,3 +186,13 @@ def test_ema_variant_memory_bank():
     q = np.asarray(ts["model_state"]["queue"])
     assert np.abs(q).sum() > 0, "memory bank never filled"
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_contra_variant():
+    cfg = base_cfg("contra")
+    cfg["model"]["vq"]["num_codebooks"] = [8, 8]
+    cfg["model"]["vq"]["embed_dims"] = [32, 32]
+    cfg["model"]["vq"]["num_pq"] = 1
+    cfg["loss"]["contra_weight"] = {"pos": 0.1, "neg": 0.01}
+    m = _run_one(cfg)
+    assert np.isfinite(m["loss"])
