@@ -179,14 +179,6 @@ class UnSegModel(_BackboneMixin):
                 use_restart=vq.get("use_restart", False),
                 use_split=vq.get("use_split", False),
                 use_gumbel=vq.get("use_gumbel", False),
-                use_weighted_sum=vq.get("use_gumbel", False),  # gumbel implies
-                decay=vq.get("decay", 0.99), eps=vq.get("eps", 1e-5),
-            ) if not vq.get("use_gumbel", False) else
-            PQConfig(
-                num_pq=num_pq[i], num_codebook=vq["num_codebooks"][i],
-                embed_dim=self.embed_dims[i], vq_type=vq.get("vq_type", "param"),
-                beta=vq.get("beta", 0.25), normalize="none",
-                use_gumbel=True, use_weighted_sum=True,
                 decay=vq.get("decay", 0.99), eps=vq.get("eps", 1e-5),
             )
             for i in range(self.num_vq)

@@ -70,9 +70,12 @@ class PQConfig:
             )
         if self.use_weighted_sum and self.normalize != "none":
             raise ValueError("use_weighted_sum requires normalize='none'")
-        if self.use_gumbel and not self.use_weighted_sum:
-            # reference asserts the combination (dino_pqgo.py:503-504)
-            raise ValueError("use_gumbel requires use_weighted_sum")
+        if self.use_gumbel and self.use_weighted_sum:
+            # NB the reference asserts gumbel->weighted_sum and checks the
+            # weighted-sum branch first (dino_pqgo.py:503-504,658-663),
+            # which makes its gumbel path unreachable dead code; here
+            # gumbel is standalone and the combination is rejected.
+            raise ValueError("use_gumbel and use_weighted_sum are exclusive")
 
     @property
     def sub_dim(self) -> int:
@@ -312,7 +315,7 @@ def pq_forward(
     if want_prob is None:
         want_prob_eff = cfg.use_weighted_sum or (training and cfg.vq_type == "ema")
     else:
-        want_prob_eff = want_prob
+        want_prob_eff = want_prob or cfg.use_weighted_sum
 
     # ---- fused Pallas path (inference assignment) ----
     # eligible when nothing needs the dense distance tensor: the kernel
@@ -363,18 +366,22 @@ def pq_forward(
     distance_prob = (jax.nn.softmax(-dist / cfg.jsd_ts, axis=-1)
                      if want_prob_eff else None)
 
-    if cfg.use_weighted_sum:
-        z_q = jnp.einsum(
-            "nmk,mkd->nmd", distance_prob, codebook_norm,
-            preferred_element_type=jnp.float32,
-        )
-    elif cfg.use_gumbel:
+    if cfg.use_gumbel and training:
+        # hard gumbel-softmax assignment (the reference's intended but
+        # unreachable branch, dino_pqgo.py:660-663)
         if rng is None:
             raise ValueError("use_gumbel requires rng")
         rng, k_g = jax.random.split(rng)
         g = jax.random.gumbel(k_g, dist.shape)
         indices = jnp.argmax(-dist + g, axis=-1).astype(jnp.int32)
         z_q = _gather_codewords(codebook, indices)
+    elif cfg.use_weighted_sum:
+        if distance_prob is None:
+            distance_prob = jax.nn.softmax(-dist / cfg.jsd_ts, axis=-1)
+        z_q = jnp.einsum(
+            "nmk,mkd->nmd", distance_prob, codebook_norm,
+            preferred_element_type=jnp.float32,
+        )
     else:
         # raw (unnormalized) codebook gather, as in dino_pqgo.py:409,665
         z_q = _gather_codewords(codebook, indices)

@@ -221,3 +221,61 @@ def test_sharded_stats_match_single_device():
         np.asarray(st_ref["ema_weight"]), np.asarray(st_sh["ema_weight"]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_z_trainable_normalization():
+    cfg = PQConfig(num_pq=2, num_codebook=8, embed_dim=16, vq_type="param",
+                   normalize="z_trainable")
+    params, state = pq_init(jax.random.PRNGKey(0), cfg)
+    assert params["z_mean"].shape == (2, 8)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 3, 16))
+    z_q, idx, aux, _ = pq_forward(z, params, state, cfg, training=False)
+    assert np.isfinite(float(aux["vq-loss"]))
+
+    # z_mean/z_log_var receive gradients through the commitment loss
+    def f(p):
+        _, _, aux, _ = pq_forward(z, p, state, cfg, training=False)
+        return aux["vq-loss"]
+
+    g = jax.grad(f)(params)
+    assert float(jnp.abs(g["z_mean"]).sum()) > 0
+
+
+def test_use_split_halves_top_codes():
+    cfg = PQConfig(num_pq=1, num_codebook=8, embed_dim=4, vq_type="ema",
+                   normalize="none", use_split=True)
+    params, state = pq_init(jax.random.PRNGKey(0), cfg)
+    state = dict(state, ema_weight=state["ema_weight"].at[0, 0].set(500.0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 2, 4)) + 500.0
+    _, idx, _, new_state = pq_forward(z, params, state, cfg, training=True,
+                                      rng=jax.random.PRNGKey(2))
+    assert np.all(np.asarray(idx) == 0)
+    # dead entries got split copies of the most-used entry (near 500)
+    w = np.asarray(new_state["ema_weight"])
+    assert (np.abs(w[0]) > 100).sum() >= 2, w[0]
+
+
+def test_gumbel_path():
+    cfg = PQConfig(num_pq=2, num_codebook=8, embed_dim=16, vq_type="param",
+                   normalize="none", use_gumbel=True)
+    params, state = pq_init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2, 16))
+    z_q, idx, aux, _ = pq_forward(z, params, state, cfg, training=True,
+                                  rng=jax.random.PRNGKey(2))
+    assert idx.shape == (1, 2, 2, 2)
+    # stochastic assignment: different keys give different indices somewhere
+    _, idx2, _, _ = pq_forward(z, params, state, cfg, training=True,
+                               rng=jax.random.PRNGKey(3))
+    assert not np.array_equal(np.asarray(idx), np.asarray(idx2))
+
+
+def test_pq_dropout_masks_codes():
+    cfg = PQConfig(num_pq=1, num_codebook=64, embed_dim=4, vq_type="param",
+                   normalize="none", pq_dropout=0.9)
+    params, state = pq_init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4, 4))
+    _, idx, _, _ = pq_forward(z, params, state, cfg, training=True,
+                              rng=jax.random.PRNGKey(2))
+    used = set(np.asarray(idx).reshape(-1).tolist())
+    # with 90% of the codebook masked, few distinct codes can win
+    assert len(used) <= 16
