@@ -80,3 +80,36 @@ def test_batched_native_crf_shapes():
     out = batched_crf_native(imgs, lp, CRFConfig(max_iter=2))
     assert out.shape == (2, 8, 8, 4)
     np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-4)
+
+
+def test_native_image_loader_matches_pil():
+    """Native decode+resize+crop vs the PIL path on synthetic JPEGs."""
+    import os
+    import tempfile
+
+    from PIL import Image
+
+    from equss_tpu.data.native_loader import load_image_batch
+    from equss_tpu.data.transforms import load_image
+
+    rng = np.random.RandomState(0)
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for i, (h, w) in enumerate([(64, 96), (100, 50), (64, 64)]):
+            img = rng.randint(0, 255, (h, w, 3), np.uint8)
+            p = os.path.join(td, f"{i}.jpg")
+            Image.fromarray(img).save(p, quality=95)
+            paths.append(p)
+
+        res = 32
+        native = load_image_batch(paths, res, n_threads=2)
+        assert native.shape == (3, res, res, 3)
+        for i, p in enumerate(paths):
+            pil = load_image(p, res, "center")
+            # JPEG decode + NEAREST rounding conventions can differ on a
+            # thin boundary band; the overwhelming majority must agree
+            agree = float((native[i] == pil).mean())
+            assert agree > 0.85, (i, agree)
+            # and values must be close everywhere (decoder differences)
+            assert float(np.abs(native[i].astype(int) -
+                                pil.astype(int)).mean()) < 8.0
