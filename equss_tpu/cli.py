@@ -108,6 +108,7 @@ def run(cfg: Dict[str, Any]) -> Dict[str, Any]:
         crf_metrics = trainer.validate_crf(result["state"], val_batches())
         logger.log({f"final_crf_{k}": v for k, v in crf_metrics.items()},
                    step=int(result["state"]["step"]))
+    ckpt.close()      # wait for async orbax saves before interpreter exit
     logger.close()
     return result
 

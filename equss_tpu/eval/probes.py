@@ -49,23 +49,28 @@ class ClusterProbe(nn.Module):
     """ClusterLookup (evaluator.py:85-111): cosine cluster centroids."""
 
     num_clusters: int
+    dim: int
 
-    @nn.compact
+    def setup(self):
+        self.clusters = self.param(
+            "clusters", nn.initializers.normal(1.0),
+            (self.num_clusters, self.dim), jnp.float32,
+        )
+
+    def inner_products(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Normalized inner products (evaluator.py:95-98)."""
+        normed_clusters = self.clusters / jnp.maximum(
+            jnp.linalg.norm(self.clusters, axis=1, keepdims=True), 1e-12)
+        normed_feat = x / jnp.maximum(
+            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        return jnp.einsum("bhwc,nc->bhwn", normed_feat, normed_clusters,
+                          preferred_element_type=jnp.float32)
+
     def __call__(
         self, x: jnp.ndarray, alpha: Optional[float] = 2.0,
         log_probs: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        dim = x.shape[-1]
-        clusters = self.param(
-            "clusters", nn.initializers.normal(1.0),
-            (self.num_clusters, dim), jnp.float32,
-        )
-        normed_clusters = clusters / jnp.maximum(
-            jnp.linalg.norm(clusters, axis=1, keepdims=True), 1e-12)
-        normed_feat = x / jnp.maximum(
-            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
-        inner = jnp.einsum("bhwc,nc->bhwn", normed_feat, normed_clusters,
-                           preferred_element_type=jnp.float32)
+        inner = self.inner_products(x)
         if alpha is None:
             probs = jax.nn.one_hot(jnp.argmax(inner, axis=-1),
                                    self.num_clusters, dtype=jnp.float32)
@@ -118,18 +123,24 @@ class Evaluator(nn.Module):
             out = resize2d(out, label_hw, "bilinear", align_corners=False)
 
         linear_logits = LinearProbe(cfg.num_classes, name="linear_probe")(out)
-        cluster_probs = None
+        cluster_inner = None
         cluster_loss = None
+        probe = None
         if cfg.with_cluster:
-            cluster_loss, cluster_probs = ClusterProbe(
-                cfg.num_classes + cfg.extra_classes, name="cluster_probe"
-            )(out, alpha=cfg.alpha)
+            probe = ClusterProbe(cfg.num_classes + cfg.extra_classes,
+                                 out.shape[-1], name="cluster_probe")
+            cluster_loss, _ = probe(out, alpha=cfg.alpha)
+            # both probes are affine in the features, so upsampling the
+            # LOGITS (inner products) then softmaxing matches the
+            # reference's upsample-features-then-probe exactly for preds
+            # AND for the CRF log-probs (evaluator.py:53-58)
+            cluster_inner = probe.inner_products(out)
 
         if linear_logits.shape[1:3] != label_hw:
             linear_logits = resize2d(linear_logits, label_hw, "bilinear",
                                      align_corners=False)
-            if cluster_probs is not None:
-                cluster_probs = resize2d(cluster_probs, label_hw, "bilinear",
+            if cluster_inner is not None:
+                cluster_inner = resize2d(cluster_inner, label_hw, "bilinear",
                                          align_corners=False)
 
         linear_preds = jnp.argmax(linear_logits, axis=-1).astype(jnp.int32)
@@ -139,15 +150,13 @@ class Evaluator(nn.Module):
             "linear_loss": linear_loss,
             "linear_preds": linear_preds,
         }
-        if cluster_probs is not None:
+        if cluster_inner is not None:
             result["cluster_loss"] = cluster_loss
             result["cluster_preds"] = jnp.argmax(
-                cluster_probs, axis=-1).astype(jnp.int32)
+                cluster_inner, axis=-1).astype(jnp.int32)
         if want_log_probs:
             result["linear_log_probs"] = jax.nn.log_softmax(linear_logits, axis=-1)
-            if cluster_probs is not None:
-                # CRF branch uses alpha=2 log-softmax of inner products
-                # (evaluator.py:58); recover from probs at label res
-                result["cluster_log_probs"] = jnp.log(
-                    jnp.maximum(cluster_probs, 1e-30))
+            if cluster_inner is not None:
+                result["cluster_log_probs"] = jax.nn.log_softmax(
+                    cluster_inner * cfg.alpha, axis=-1)
         return result
