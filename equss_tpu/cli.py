@@ -47,6 +47,7 @@ def _make_batch_fns(cfg: Dict[str, Any]):
             return synthetic_batches(seed + 10_000, max(nb // 4, 1), vbs,
                                      vres, ncls, with_pos=False)
 
+        cfg["_iter_per_epoch"] = nb      # cosine-schedule horizon
         return train_batches, val_batches, res
 
     from equss_tpu.data.pipeline import build_data
@@ -62,6 +63,9 @@ def _make_batch_fns(cfg: Dict[str, Any]):
     def val_batches():
         return val_data.batches(vbs, shuffle=False, drop_last=False)
 
+    # cosine schedules need the true per-epoch update count
+    # (build.py:123-141 semantics)
+    cfg["_iter_per_epoch"] = max(len(train_data) // bs, 1)
     return train_batches, val_batches, cfg["dataset"]["train"]["res"]
 
 

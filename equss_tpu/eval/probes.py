@@ -6,12 +6,13 @@ Functional equivalent of UnSegEvaluator / ClusterLookup
 TPU-first deviation (documented): probes run at FEATURE resolution and
 the (num_classes)-channel logit maps are bilinearly upsampled to label
 resolution, instead of upsampling the 1024-channel feature map first
-(evaluator.py:53-54).  Both probes are affine in the features
-(normalization in ClusterLookup only rescales per-pixel magnitude,
-which cannot change the per-pixel argmax), so *predictions are
-identical* while the upsample moves 27 channels instead of 1024 —
-~38x less resize bandwidth.  Set ``probe_res='label'`` for the
-reference's exact loss weighting.
+(evaluator.py:53-54) — the upsample moves 27 channels instead of 1024,
+~38x less resize bandwidth.  The linear probe is affine, so its
+predictions are bit-identical either way.  The cluster probe L2-
+normalizes per pixel, which does not commute with interpolation, so
+cluster predictions can differ on a <1% boundary band (tested); set
+``probe_res='label'`` for the reference's exact order and loss
+weighting.
 """
 from __future__ import annotations
 

@@ -133,7 +133,11 @@ class Trainer:
 
         opt_cfg = cfg["optimizer"]
         sch_cfg = cfg.get("scheduler", {})
-        ipe = cfg.get("_iter_per_epoch", 100)   # provided by fit(); default ok
+        # per-epoch update count for cosine schedules: the CLI injects
+        # _iter_per_epoch from the dataset length; train.iter_per_epoch
+        # overrides it explicitly (build.py:123-141 semantics)
+        ipe = cfg.get("train", {}).get(
+            "iter_per_epoch", cfg.get("_iter_per_epoch", 100))
         self.tx_model = build_optimizer(
             opt_cfg["model"], sch_cfg.get("model"),
             iter_per_epoch=ipe, max_epochs=self.tc.max_epochs,

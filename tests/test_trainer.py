@@ -158,3 +158,44 @@ def test_grad_accumulation_matches_big_batch():
     diff2 = sum(float(np.abs(a - b).sum()) for a, b in
                 zip(jax.tree.leaves(head0), jax.tree.leaves(head2)))
     assert diff2 > 0.0
+
+
+def test_probe_res_label_matches_feat_predictions():
+    """probe_res='label' (reference-exact) vs 'feat' (fast): the linear
+    probe is affine, so its predictions are identical; the cluster probe
+    normalizes per-pixel, which does not commute with interpolation at
+    boundary pixels — require near-total agreement there."""
+    cfg_a = tiny_cfg()
+    cfg_b = tiny_cfg()
+    cfg_b["eval"]["probe_res"] = "label"
+    tr_a = _trainer(cfg_a)
+    tr_b = _trainer(cfg_b)
+    ts = tr_a.init_state(jax.random.PRNGKey(0), img_hw=(32, 32))
+    batch = next(iter(synthetic_batches(1, 1, batch_size=4, res=32,
+                                        with_pos=False)))
+    res_a = tr_a.valid_step(ts, batch)
+    res_b = tr_b.valid_step(ts, batch)
+    np.testing.assert_array_equal(np.asarray(res_a["linear_preds"]),
+                                  np.asarray(res_b["linear_preds"]))
+    agree = float((np.asarray(res_a["cluster_preds"])
+                   == np.asarray(res_b["cluster_preds"])).mean())
+    assert agree > 0.99, agree
+
+
+def test_cosine_scheduler_from_config():
+    cfg = tiny_cfg()
+    cfg["scheduler"] = {"model": {"name": "cos", "min_lr": 0.0},
+                        "cluster": {"name": "constant"},
+                        "linear": {"name": "constant"}}
+    cfg["train"]["iter_per_epoch"] = 4
+    cfg["train"]["max_epochs"] = 2
+    trainer = _trainer(cfg)
+    ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(32, 32))
+    head0 = jax.device_get(ts["params"]["head"])
+    for batch in synthetic_batches(0, 8, batch_size=4, res=32):
+        ts, m = trainer.train_step(ts, batch)
+    assert np.isfinite(float(m["loss"]))
+    head1 = jax.device_get(ts["params"]["head"])
+    diff = sum(float(np.abs(a - b).sum()) for a, b in
+               zip(jax.tree.leaves(head0), jax.tree.leaves(head1)))
+    assert diff > 0
