@@ -73,7 +73,7 @@ def run(cfg: Dict[str, Any]) -> Dict[str, Any]:
     import jax
 
     from equss_tpu.core.checkpoint import CheckpointManager
-    from equss_tpu.core.logging import MetricsLogger, time_log
+    from equss_tpu.core.logging import MetricsLogger
     from equss_tpu.train.trainer import Trainer
 
     save_dir = os.path.join(

@@ -9,7 +9,7 @@ content) let probe metrics move above chance, which smoke tests assert.
 """
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

@@ -7,7 +7,7 @@ inputs no explicit collective is needed at all.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

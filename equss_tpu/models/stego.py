@@ -7,7 +7,7 @@ the EQUSS pipeline without the quantizer, with a low-dim code head
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

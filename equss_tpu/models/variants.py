@@ -26,7 +26,7 @@ distribution, see data/transforms.photometric_aug).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from equss_tpu.core.logging import MetricsLogger, compute_param_norm, count_params
+from equss_tpu.core.logging import MetricsLogger, count_params
 from equss_tpu.data.transforms import normalize_images
 from equss_tpu.eval.metrics import UnSegMetrics, confusion_update
 from equss_tpu.eval.probes import Evaluator, EvaluatorConfig
