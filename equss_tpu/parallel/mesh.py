@@ -91,3 +91,37 @@ def barrier(name: str = "barrier") -> None:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(name)
+
+
+def make_mesh_2d(data: int, model: int) -> Mesh:
+    """(data, model) mesh: batch over 'data', large weight dims (e.g. the
+    PQ codebook's K axis) over 'model'.  The reference is DP-only
+    (SURVEY §2.4); this is the TP extension point — GSPMD inserts the
+    cross-shard argmin/psum for the quantizer transparently and results
+    are bit-identical to the replicated layout (tested)."""
+    devices = jax.devices()[: data * model]
+    return Mesh(np.array(devices).reshape(data, model), ("data", "model"))
+
+
+def shard_quantizer(mesh: Mesh, params: Dict[str, Any],
+                    model_state: Dict[str, Any]):
+    """Shard PQ codebooks over the 'model' axis (K dimension): params
+    ('codebook' (M, K, d)) and EMA buffers; everything else replicated."""
+    if "model" not in mesh.axis_names:
+        return (jax.tree.map(lambda x: jax.device_put(
+            x, NamedSharding(mesh, P())), (params, model_state)))
+    k_sharded = NamedSharding(mesh, P(None, "model", None))
+    rep = NamedSharding(mesh, P())
+
+    def place(tree):
+        def f(path, x):
+            name = path[-1].key if path else ""
+            if name in ("codebook", "ema_weight", "ema_weight_avg") and x.ndim == 3:
+                return jax.device_put(x, k_sharded)
+            if name in ("ema_count", "vq_count") and x.ndim == 2:
+                return jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+            return jax.device_put(x, rep)
+
+        return jax.tree_util.tree_map_with_path(f, tree)
+
+    return place(params), place(model_state)

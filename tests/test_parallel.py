@@ -42,3 +42,31 @@ def test_broadcast_and_barrier_single_process():
     obj = {"a": 1, "b": [2, 3]}
     assert broadcast_object(obj) == obj
     barrier("test")
+
+
+def test_quantizer_tensor_parallel_bit_identical():
+    """Codebook K-axis sharded over a 'model' axis (dp x tp) gives
+    bit-identical assignments vs the replicated layout — GSPMD inserts
+    the cross-shard reductions."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from equss_tpu.ops.quantizer import PQConfig, pq_forward, pq_init
+    from equss_tpu.parallel.mesh import make_mesh_2d, shard_quantizer
+
+    cfg = PQConfig(num_pq=4, num_codebook=64, embed_dim=32,
+                   vq_type="param", normalize="l2")
+    params, state = pq_init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4, 32))
+
+    step = jax.jit(lambda z, p, s: pq_forward(z, p, s, cfg, training=True,
+                                              rng=jax.random.PRNGKey(2)))
+    _, idx_ref, aux_ref, _ = step(z, params, state)
+
+    mesh = make_mesh_2d(2, 2)
+    p_sh, s_sh = shard_quantizer(mesh, {"pq": params}, {"pq": state})
+    z_sh = jax.device_put(z, NamedSharding(mesh, P("data")))
+    _, idx_tp, aux_tp, _ = step(z_sh, p_sh["pq"], s_sh["pq"])
+
+    np.testing.assert_array_equal(np.asarray(idx_ref), np.asarray(idx_tp))
+    np.testing.assert_allclose(float(aux_ref["vq-loss"]),
+                               float(aux_tp["vq-loss"]), rtol=1e-6)
