@@ -162,14 +162,21 @@ class EQUSS:
         self,
         params: Dict[str, Any],
         state: Dict[str, Any],
-        img: jnp.ndarray,
+        img: Optional[jnp.ndarray] = None,
         img_pos: Optional[jnp.ndarray] = None,
         *,
+        feat: Optional[jnp.ndarray] = None,
+        feat_pos: Optional[jnp.ndarray] = None,
         training: bool = False,
         rng: Optional[jax.Array] = None,
         **_: Any,
     ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
         """Forward (dino_pqgo.py:114-154).
+
+        Either images or precomputed dense features may be supplied: the
+        backbone is frozen, so caching its features once and training
+        the head/PQ from the cache (``feat``/``feat_pos``) skips the ViT
+        entirely — a TPU-first training mode the reference lacks.
 
         Returns (out, new_state); out holds code, z_q, indices, aux
         (vq-loss, stego-loss, codebook telemetry, distance_prob).
@@ -181,22 +188,28 @@ class EQUSS:
         if rng is not None:
             k_drop, k_drop_pos, k_pq, k_stego = jax.random.split(rng, 4)
 
-        feat_pos = code_pos = None
+        code_pos = None
         if training:
-            if img_pos is None:
+            if feat is None and img_pos is None:
                 raise ValueError("training forward requires img_pos (kNN positive)")
-            # ONE backbone forward over [img; img_pos]: the reference runs
-            # the frozen ViT twice (dino_pqgo.py:125,132); batching halves
-            # kernel launches and doubles the matmul M-dim on the MXU
-            b = img.shape[0]
-            both = self.features(params, jnp.concatenate([img, img_pos], 0))
+            if feat is not None:
+                if feat_pos is None:
+                    raise ValueError("cached-feature training requires feat_pos")
+                both = jnp.concatenate([feat, feat_pos], 0)
+                b = feat.shape[0]
+            else:
+                # ONE backbone forward over [img; img_pos]: the reference
+                # runs the frozen ViT twice (dino_pqgo.py:125,132)
+                b = img.shape[0]
+                both = self.features(params, jnp.concatenate([img, img_pos], 0))
             if cfg.dropout:
                 both = dropout2d(k_drop, both, cfg.drop_prob)
             code_both = self.encode(params, both)
             feat, feat_pos = both[:b], both[b:]
             code, code_pos = code_both[:b], code_both[b:]
         else:
-            feat = self.features(params, img)
+            if feat is None:
+                feat = self.features(params, img)
             code = self.encode(params, feat)
 
         z_q, indices, aux, pq_state = pq_forward(

@@ -125,3 +125,27 @@ def shard_quantizer(mesh: Mesh, params: Dict[str, Any],
         return jax.tree_util.tree_map_with_path(f, tree)
 
     return place(params), place(model_state)
+
+
+def device_prefetch(batches, mesh: Mesh, depth: int = 2,
+                    axis_name: str = "data"):
+    """Iterator wrapper that device_puts `depth` batches ahead so the
+    host->device transfer overlaps the previous step's compute (JAX
+    dispatch is async).  The torch-DataLoader pin_memory/non_blocking
+    analogue (train.py:66-70) for the jit world."""
+    import collections
+
+    queue = collections.deque()
+    it = iter(batches)
+    try:
+        for _ in range(depth):
+            queue.append(shard_batch(mesh, next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(shard_batch(mesh, next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -31,7 +31,7 @@ from equss_tpu.data.transforms import normalize_images
 from equss_tpu.eval.metrics import UnSegMetrics, confusion_update
 from equss_tpu.eval.probes import Evaluator, EvaluatorConfig
 from equss_tpu.models.registry import build_model
-from equss_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from equss_tpu.parallel.mesh import device_prefetch, make_mesh, replicate, shard_batch
 from equss_tpu.train.optim import build_optimizer, global_grad_norm
 
 
@@ -232,9 +232,11 @@ class Trainer:
         def loss_fn(tr):
             params = dict(ts["params"], **tr["model"])
             out, new_mstate = self.model.apply(
-                params, ts["model_state"], batch["img"],
+                params, ts["model_state"], batch.get("img"),
                 img_pos=batch.get("img_pos"),
                 aug_img=batch.get("aug_img"),
+                feat=batch.get("feat"),
+                feat_pos=batch.get("feat_pos"),
                 training=True, rng=step_rng,
             )
             aux = out["aux"]
@@ -382,8 +384,8 @@ class Trainer:
                                 compute_hungarian=False)
         losses = []
         has_cluster = True
-        for batch in val_iter:
-            res = self.valid_step(ts, batch)
+        for batch in device_prefetch(val_iter, self.mesh):
+            res = self._valid_step(ts, batch)
             has_cluster = "cluster_conf" in res
             if has_cluster:
                 cluster_m.update_confusion(res["cluster_conf"])
@@ -428,8 +430,10 @@ class Trainer:
         it = 0
         for epoch in range(self.tc.max_epochs):
             t0 = time.time()
-            for batch in train_batches(epoch):
-                ts, metrics = self.train_step(ts, batch)
+            # transfers overlap compute: the next batch device_puts while
+            # the current step runs (train.py:66-70 non_blocking analogue)
+            for batch in device_prefetch(train_batches(epoch), self.mesh):
+                ts, metrics = self._train_step(ts, batch)
                 it += 1
                 if it % self.tc.print_interval_iters == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}

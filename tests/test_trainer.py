@@ -199,3 +199,40 @@ def test_cosine_scheduler_from_config():
     diff = sum(float(np.abs(a - b).sum()) for a, b in
                zip(jax.tree.leaves(head0), jax.tree.leaves(head1)))
     assert diff > 0
+
+
+def test_cached_feature_training(tmp_path):
+    """Feature-cache mode: precompute frozen features, train head/PQ
+    from the cache — same mechanics, no backbone in the step."""
+    import numpy as _np
+    from equss_tpu.data.feature_cache import (
+        cached_feature_batches,
+        precompute_features,
+    )
+    from equss_tpu.models.registry import build_model
+
+    cfg = tiny_cfg()
+    trainer = _trainer(cfg)
+    ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(32, 32))
+
+    # fake a cache from synthetic images through the real featurizer
+    model = trainer.model
+
+    class _Data:
+        def batches(self, bs, shuffle=False, drop_last=False):
+            return synthetic_batches(0, 2, batch_size=bs, res=32,
+                                     with_pos=False)
+
+    path = precompute_features(model, jax.device_get(ts["params"]), _Data(),
+                               str(tmp_path / "feats.npz"), batch_size=4)
+    blob = _np.load(path)
+    assert blob["feats"].shape[1:] == (4, 4, 32)
+
+    head0 = jax.device_get(ts["params"]["head"])
+    for batch in cached_feature_batches(path, None, batch_size=4, seed=0):
+        ts, metrics = trainer.train_step(ts, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    head1 = jax.device_get(ts["params"]["head"])
+    diff = sum(float(np.abs(a - b).sum()) for a, b in
+               zip(jax.tree.leaves(head0), jax.tree.leaves(head1)))
+    assert diff > 0
