@@ -135,7 +135,7 @@ def run_knn_job(cfg: Dict[str, Any]) -> None:
     import os
 
     from equss_tpu.data.jobs import precompute_knns
-    from equss_tpu.data.pipeline import build_data
+    from equss_tpu.data.pipeline import UnSegData
     from equss_tpu.models.registry import build_model
 
     model = build_model(cfg)
@@ -145,7 +145,15 @@ def run_knn_job(cfg: Dict[str, Any]) -> None:
         backbone_params=_load_backbone(cfg),
     )
     d = cfg["dataset"]["train"]
-    data = build_data(cfg, "train", seed=cfg.get("seed", 0))
+    # NB pos_images must be OFF here — this job CREATES the neighbor cache
+    data = UnSegData(
+        mode="train", data_dir=d["data_dir"],
+        dataset_name=d["dataset_name"],
+        model_type=d.get("model_type", "vit_small"),
+        crop_type=d.get("crop_type"), crop_ratio=d.get("crop_ratio", 0.5),
+        loader_crop_type=d.get("loader_crop_type", "center"),
+        res=d["res"], pos_images=False, seed=cfg.get("seed", 0),
+    )
     out_path = os.path.join(
         d["data_dir"], "nns",
         f"nns_{d.get('model_type', 'vit_small')}_{d['dataset_name']}_train_"

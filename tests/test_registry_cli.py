@@ -106,3 +106,59 @@ def test_cli_smoke(tmp_path):
                    f"save_dir={tmp_path}", "train.valid_interval_iters=100",
                    "dataset.synthetic_batches=2"])
     assert result["best"]["Cluster_mIoU"] >= 0.0
+
+
+def test_cli_knn_job(tmp_path):
+    """CLI 'knn' subcommand end to end on a miniature corpus."""
+    import os
+    import textwrap
+
+    import numpy as np
+    from PIL import Image
+
+    root = tmp_path / "coco"
+    rng = np.random.RandomState(0)
+    os.makedirs(root / "images" / "train2017")
+    os.makedirs(root / "annotations" / "train2017")
+    os.makedirs(root / "curated" / "train2017")
+    ids = []
+    for i in range(5):
+        iid = f"img_{i:06d}"
+        ids.append(iid)
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)).save(
+            root / "images" / "train2017" / f"{iid}.jpg")
+        Image.fromarray(rng.randint(0, 182, (40, 40), np.uint8)).save(
+            root / "annotations" / "train2017" / f"{iid}.png")
+    (root / "curated" / "train2017" /
+     "Coco164kFull_Stuff_Coarse.txt").write_text("\n".join(ids))
+
+    cfg_path = tmp_path / "knn.yaml"
+    cfg_path.write_text(textwrap.dedent(f"""
+        seed: 0
+        num_classes: 27
+        model:
+          name: "pqgo"
+          pretrained: {{model_type: "vit_micro", dino_patch_size: 8,
+                        pretrained_weights: null}}
+          vq: {{vq_type: "param", num_codebooks: [8], embed_dims: [32],
+                num_pq: [4], normalize: "l2"}}
+        loss:
+          stego: {{neg_inter_weight: 0.63, pos_inter_weight: 0.25,
+                   pos_intra_weight: 0.67, neg_inter_shift: 0.66,
+                   pos_inter_shift: 0.02, pos_intra_shift: 0.08}}
+        dataset:
+          train: {{data_dir: "{root}", dataset_name: "cocostuff27",
+                   model_type: "vit_micro", crop_type: null,
+                   loader_crop_type: "center", res: 32, num_neighbors: 3}}
+        dataloader:
+          train: {{batch_size: 4}}
+    """))
+
+    from equss_tpu.cli import main
+
+    main(["knn", "--config", str(cfg_path)])
+    out = root / "nns" / "nns_vit_micro_cocostuff27_train_None_224.npz"
+    assert out.exists()
+    nns = np.load(out)["nns"]
+    assert nns.shape[0] == 5
+    np.testing.assert_array_equal(nns[:, 0], np.arange(5))
