@@ -6,5 +6,6 @@ from equss_tpu.losses.basic import (  # noqa: F401
     club_loss,
     margin_ranking_loss,
     jsd_pos_loss,
+    proxy_loss,
 )
 from equss_tpu.losses.sinkhorn import cluster_loss, distributed_sinkhorn  # noqa: F401

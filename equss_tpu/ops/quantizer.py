@@ -352,6 +352,11 @@ def pq_forward(
     dist = pairwise_sqdist(z_norm, codebook_norm)           # (n, M, K) fp32
 
     if cfg.pq_dropout > 0.0 and training:
+        # deviation (documented): the reference physically removes masked
+        # rows (dino_pqgo.py:393-395), which re-means the returned indices
+        # against the REDUCED codebook while the EMA gather still uses the
+        # full table — a latent misindexing bug. Masking distances to +inf
+        # keeps global index semantics and static shapes.
         if rng is None:
             raise ValueError("pq_dropout requires rng")
         rng, k_drop = jax.random.split(rng)
