@@ -43,6 +43,11 @@ def make_mesh(n_devices: Optional[int] = None,
     """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are visible on platform "
+                f"'{jax.default_backend()}'")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
 
@@ -99,8 +104,13 @@ def make_mesh_2d(data: int, model: int) -> Mesh:
     (SURVEY §2.4); this is the TP extension point — GSPMD inserts the
     cross-shard argmin/psum for the quantizer transparently and results
     are bit-identical to the replicated layout (tested)."""
-    devices = jax.devices()[: data * model]
-    return Mesh(np.array(devices).reshape(data, model), ("data", "model"))
+    devices = jax.devices()
+    if len(devices) < data * model:
+        raise ValueError(
+            f"requested a {data}x{model} mesh but only {len(devices)} "
+            f"device(s) are visible on platform '{jax.default_backend()}'")
+    return Mesh(np.array(devices[: data * model]).reshape(data, model),
+                ("data", "model"))
 
 
 def shard_quantizer(mesh: Mesh, params: Dict[str, Any],

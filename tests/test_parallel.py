@@ -70,3 +70,23 @@ def test_quantizer_tensor_parallel_bit_identical():
     np.testing.assert_array_equal(np.asarray(idx_ref), np.asarray(idx_tp))
     np.testing.assert_allclose(float(aux_ref["vq-loss"]),
                                float(aux_tp["vq-loss"]), rtol=1e-6)
+
+
+def test_mesh_overrequest_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="device"):
+        make_mesh(1024)
+
+
+def test_dryrun_multichip_self_forces_platform():
+    """The driver calls __graft_entry__.dryrun_multichip(n) bare — it must
+    force the virtual CPU platform itself (VERDICT r1 item 1)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __graft_entry__
+
+    assert __graft_entry__._force_cpu_platform(2)
+    __graft_entry__.dryrun_multichip(2)   # dp-only path, tiny shapes
