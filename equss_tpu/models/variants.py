@@ -18,10 +18,12 @@ ops (so each variant is a thin composition, not a copied file):
 * ResModel    — dino_res.py:15-162 ('res': semantic+local encoders,
   recon, InfoNCE positive + CLUB MI-minimization negative)
 
-All consume NHWC batches; photometric augmentation happens on device in
-the input pipeline (the reference augments inside forward,
-dino_vae.py:173-176 — here aug_img arrives precomputed, same
-distribution, see data/transforms.photometric_aug).
+All consume NHWC batches; photometric augmentation happens on device,
+IN-GRAPH in the trainer's jitted step for every `consumes_aug` variant
+(the reference builds aug_img per sample on the host,
+dataset_aug.py:40-52,507-529 — here the batched
+data/transforms.photometric_aug runs fused with the forward; a
+precomputed batch['aug_img'] still takes precedence when provided).
 """
 from __future__ import annotations
 
@@ -55,6 +57,11 @@ def codebook_usage_percentiles(count: jnp.ndarray, prefix: str = "") -> Dict[str
 
 class _BackboneMixin:
     """Shared frozen-DINO featurizer plumbing."""
+
+    # Variants whose contrastive losses consume a photometric aug view set
+    # this True; the trainer then generates aug_img in-graph per step
+    # (the reference dataset emits it per sample, dataset_aug.py:507-529).
+    consumes_aug = False
 
     def _setup_backbone(self, pre: Dict[str, Any], dtype=jnp.float32):
         self.vit_cfg = make_vit_config(pre["model_type"],
@@ -306,6 +313,8 @@ class _NewVQNet(nn.Module):
 
 
 class NewVQModel(_BackboneMixin):
+    consumes_aug = True
+
     def __init__(self, cfg: Dict[str, Any]):
         m = cfg["model"]
         self._setup_backbone(m["pretrained"])
@@ -405,6 +414,8 @@ class SPQModel(_BackboneMixin):
     parameter split into books, soft assignment Z = softmax(-d/tau) @ C,
     JSD between (img, aug) halves per book + InfoNCE."""
 
+    consumes_aug = True
+
     def __init__(self, cfg: Dict[str, Any]):
         m = cfg["model"]
         self._setup_backbone(m["pretrained"])
@@ -494,6 +505,8 @@ class SPQModel(_BackboneMixin):
 # ---------------------------------------------------------------------------
 
 class ClusterModel(_BackboneMixin):
+    consumes_aug = True
+
     def __init__(self, cfg: Dict[str, Any]):
         m = cfg["model"]
         self._setup_backbone(m["pretrained"])
@@ -552,6 +565,8 @@ class VAEModel(_BackboneMixin):
     """dino_vae.py:169-238 capability: top VQ on a strided encoding,
     bottom VQ conditioned on the decoded top, recon + JSD(top) -
     0.01*JSD(bottom)."""
+
+    consumes_aug = True
 
     def __init__(self, cfg: Dict[str, Any]):
         m = cfg["model"]
@@ -678,6 +693,8 @@ class ResModel(_BackboneMixin):
     train step is pure), which removes the GradScaler/optimizer
     side-effects from the model."""
 
+    consumes_aug = True
+
     def __init__(self, cfg: Dict[str, Any]):
         m = cfg["model"]
         self._setup_backbone(m["pretrained"])
@@ -776,6 +793,8 @@ class PQGOCLSModel(_BackboneMixin):
     The grouped Conv1d classifier (:84-88) becomes a per-subspace einsum
     with weight (M, dsub, K) — identical math, MXU-batched.
     """
+
+    consumes_aug = True
 
     def __init__(self, cfg: Dict[str, Any]):
         from equss_tpu.losses.stego import StegoLossConfig, stego_loss
@@ -894,6 +913,8 @@ class EMAModel(_BackboneMixin):
     NOTE: this variant was disabled in the reference's own builder
     (build.py:24, import commented); included for inventory completeness.
     """
+
+    consumes_aug = True
 
     def __init__(self, cfg: Dict[str, Any]):
         from equss_tpu.models.heads import SegmentationHead
@@ -1026,6 +1047,8 @@ class ContraModel(UnSegModel):
     sklearn k-means positive-sampling stage (stage==1, :143-200) maps to
     ops/kmeans + the kNN-positive pipeline; the T-SNE dump side effect
     (:263-272) belongs to analysis tooling, not the training step."""
+
+    consumes_aug = True
 
     def apply(self, params, state, img, img_pos=None, aug_img=None, *,
               training=False, rng=None, **_):

@@ -224,7 +224,6 @@ def _restart_dead_codes(
     n = z.shape[0]
     # draw K candidate pixels per subspace (with replacement if K > n)
     cand_idx = jax.random.randint(key, (M, K), 0, n)
-    candidates = z[cand_idx]                                  # (M, K, M, d) -> no!
     # z is (n, M, d): take pixel cand_idx[m, k] in subspace m
     candidates = jnp.take_along_axis(
         z.transpose(1, 0, 2),                                  # (M, n, d)

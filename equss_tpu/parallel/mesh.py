@@ -58,9 +58,17 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any],
                 axis_name: str = "data") -> Dict[str, Any]:
-    """Place a host batch dict onto the mesh, sharded along dim 0."""
+    """Place a host batch dict onto the mesh, sharded along dim 0.
+
+    Non-array entries (e.g. the img_path lists real-file datasets carry,
+    dataset_aug.py:512-516) are dropped — they stay host-side and never
+    enter jit."""
     sh = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "dtype") and getattr(v, "dtype").kind not in ("U", "S", "O"):
+            out[k] = jax.device_put(v, sh)
+    return out
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
