@@ -22,14 +22,26 @@ import jax.numpy as jnp
 import optax
 
 
-def wd_mask(params: Dict[str, Any]) -> Dict[str, Any]:
-    """True where weight decay applies: ndim > 1 and not a quantizer
-    param (build.py:77-90)."""
+# subtrees excluded from weight decay: quantizer params (the reference
+# routes VectorQuantizer/EMAVectorQuantizer params to the no-wd group,
+# build.py:77-80) and the CLUB encoder (excluded from the model optimizer
+# entirely, build.py:81-82 — here it trains jointly, documented deviation,
+# so at minimum it must not be decayed)
+_NO_WD_SUBTREES = ("pq", "club_enc")
 
-    def mask_tree(tree, in_pq: bool):
+
+def wd_mask(params: Dict[str, Any]) -> Dict[str, Any]:
+    """True where weight decay applies: ndim > 1, outside quantizer/club
+    subtrees (build.py:72-95).  Passed as a CALLABLE mask to optax so it
+    evaluates against the actual param tree at optimizer init."""
+
+    def mask_tree(tree, excluded: bool):
         if isinstance(tree, dict):
-            return {k: mask_tree(v, in_pq or k == "pq") for k, v in tree.items()}
-        return (not in_pq) and jnp.ndim(tree) > 1
+            return {k: mask_tree(v, excluded or k in _NO_WD_SUBTREES)
+                    for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(mask_tree(v, excluded) for v in tree)
+        return (not excluded) and jnp.ndim(tree) > 1
 
     return mask_tree(params, False)
 
@@ -62,7 +74,6 @@ def build_optimizer(
     max_epochs: int = 1,
     num_accum: int = 1,
     clip_grad: Optional[float] = None,
-    params_sample: Optional[Dict[str, Any]] = None,
 ) -> optax.GradientTransformation:
     """cfg['optimizer'][x] + cfg['scheduler'][x] -> optax transform."""
     name = opt_cfg["name"].lower()
@@ -73,18 +84,17 @@ def build_optimizer(
         core = optax.adam(lr)    # reference Adam takes lr only
     elif name == "adamw":
         b1, b2 = opt_cfg.get("betas", (0.9, 0.999))
-        mask = wd_mask(params_sample) if params_sample is not None else None
         core = optax.adamw(
             lr, b1=b1, b2=b2,
             weight_decay=opt_cfg.get("weight_decay", 0.0),
-            mask=mask,
+            mask=wd_mask,    # callable: resolved against the real tree
         )
     elif name == "sgd":
         core = optax.sgd(lr, momentum=opt_cfg.get("momentum", 0.9))
         wd = opt_cfg.get("weight_decay", 0.0)
         if wd:
-            mask = wd_mask(params_sample) if params_sample is not None else None
-            core = optax.chain(optax.add_decayed_weights(wd, mask=mask), core)
+            core = optax.chain(
+                optax.add_decayed_weights(wd, mask=wd_mask), core)
     else:
         raise ValueError(f"Unsupported optimizer type {name}")
 

@@ -236,3 +236,46 @@ def test_cached_feature_training(tmp_path):
     diff = sum(float(np.abs(a - b).sum()) for a, b in
                zip(jax.tree.leaves(head0), jax.tree.leaves(head1)))
     assert diff > 0
+
+
+def test_adamw_wd_mask_excludes_quantizer_and_vectors():
+    """AdamW decays only ndim>1 params outside pq/club_enc subtrees
+    (ref build.py:72-95 split_params_for_optimizer)."""
+    import jax.numpy as jnp
+
+    from equss_tpu.train.optim import build_optimizer, wd_mask
+
+    params = {
+        "net": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))},
+        "pq": [{"codebook": jnp.ones((2, 8, 4))}],
+        "club_enc": {"kernel": jnp.ones((4, 4))},
+    }
+    mask = wd_mask(params)
+    assert mask["net"]["kernel"] is True
+    assert mask["net"]["bias"] is False
+    assert mask["pq"][0]["codebook"] is False
+    assert mask["club_enc"]["kernel"] is False
+
+    tx = build_optimizer({"name": "adamw", "lr": 0.1, "weight_decay": 1.0},
+                         {"name": "constant"})
+    st = tx.init(params)
+    zero_g = jax.tree.map(jnp.zeros_like, params)
+    up, _ = tx.update(zero_g, st, params)
+    # with zero grads the adamw update is exactly -lr*wd*param where masked
+    assert abs(float(up["net"]["kernel"][0, 0]) + 0.1) < 1e-6
+    assert float(jnp.abs(up["net"]["bias"]).max()) == 0.0
+    assert float(jnp.abs(up["pq"][0]["codebook"]).max()) == 0.0
+    assert float(jnp.abs(up["club_enc"]["kernel"]).max()) == 0.0
+
+
+def test_trainer_adamw_reference_baseline_optimizer():
+    """The pq/cluster baselines train with adamw + the wd mask resolved
+    against the real trainable tree (pq param lists included)."""
+    cfg = tiny_cfg()
+    cfg["optimizer"]["model"] = {"name": "adamw", "lr": 3.0e-4,
+                                 "weight_decay": 2.0}
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(16, 16))
+    batch = next(iter(synthetic_batches(0, 1, batch_size=4, res=16)))
+    ts, metrics = trainer.train_step(ts, batch)
+    assert np.isfinite(float(metrics["loss"]))
