@@ -69,11 +69,33 @@ def _make_batch_fns(cfg: Dict[str, Any]):
     return train_batches, val_batches, cfg["dataset"]["train"]["res"]
 
 
+def _final_eval(cfg, trainer, state, val_batches, logger) -> Dict[str, Any]:
+    """Final evaluation ± CRF on a (best) state (train.py:515-530)."""
+    final = trainer.validate(state, val_batches())
+    logger.log({f"final_{k}": v for k, v in final.items()},
+               step=int(state["step"]))
+    if cfg.get("eval", {}).get("final_crf", False):
+        crf_metrics = trainer.validate_crf(state, val_batches())
+        logger.log({f"final_crf_{k}": v for k, v in crf_metrics.items()},
+                   step=int(state["step"]))
+        final.update({f"crf_{k}": v for k, v in crf_metrics.items()})
+    return final
+
+
+def _wandb_cfg(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """cfg['wandb'] -> wandb.init kwargs (utils/wandb_utils.py:26-49):
+    project/name/tags/notes/id/group/mode pass through."""
+    w = dict(cfg.get("wandb", {}) or {})
+    w.setdefault("config", {k: v for k, v in cfg.items() if k != "wandb"})
+    return w
+
+
 def run(cfg: Dict[str, Any]) -> Dict[str, Any]:
     import jax
 
     from equss_tpu.core.checkpoint import CheckpointManager
     from equss_tpu.core.logging import MetricsLogger
+    from equss_tpu.parallel.mesh import broadcast_object, replicate
     from equss_tpu.train.trainer import Trainer
 
     save_dir = os.path.join(
@@ -81,12 +103,34 @@ def run(cfg: Dict[str, Any]) -> Dict[str, Any]:
         (cfg.get("wandb", {}) or {}).get("name", "run") + "_" +
         time.strftime("%Y%m%d_%H%M%S"),
     )
+    # all hosts must agree on the run directory (wandb_utils.py:52-58)
+    save_dir = broadcast_object(save_dir, is_source=jax.process_index() == 0)
     logger = MetricsLogger(save_dir=save_dir,
-                           use_wandb=not cfg.get("debug", False))
+                           use_wandb=not cfg.get("debug", False),
+                           wandb_cfg=_wandb_cfg(cfg),
+                           is_master=jax.process_index() == 0)
     logger.banner(f"devices: {jax.devices()}")
 
     train_batches, val_batches, res = _make_batch_fns(cfg)
     trainer = Trainer(cfg, backbone_params=_load_backbone(cfg))
+
+    resume = cfg.get("resume", {}) or {}
+    resume_state = None
+    if resume.get("checkpoint"):
+        template = jax.device_get(trainer.init_state(
+            jax.random.PRNGKey(cfg.get("seed", 0)), img_hw=(res, res)))
+        restored = CheckpointManager(resume["checkpoint"]).restore(
+            template=template)
+        if resume.get("mode", "eval") == "eval":
+            # reference resume semantics: restore and jump straight to
+            # final evaluation (train.py:428-432,515-530)
+            state = replicate(trainer.mesh, restored)
+            final = _final_eval(cfg, trainer, state, val_batches, logger)
+            logger.banner(f"eval-only: {final}")
+            logger.close()
+            return {"state": state, "best": final}
+        resume_state = restored          # mode: train — continue training
+
     profile_dir = cfg.get("train", {}).get("profile_dir")
     if profile_dir:
         # capture an xplane trace of the first steps (the reference only
@@ -100,18 +144,18 @@ def run(cfg: Dict[str, Any]) -> Dict[str, Any]:
     ckpt = CheckpointManager(os.path.join(save_dir, "ckpt"))
 
     result = trainer.fit(train_batches, val_batches, logger=logger,
-                         checkpointer=ckpt, img_hw=(res, res))
+                         checkpointer=ckpt, img_hw=(res, res),
+                         state=resume_state)
     logger.banner(f"best: {result['best']}")
 
-    # final eval on the last state (the reference reloads best.pth and
-    # evaluates with and without CRF, train.py:515-530)
-    final = trainer.validate(result["state"], val_batches())
-    logger.log({f"final_{k}": v for k, v in final.items()},
-               step=int(result["state"]["step"]))
-    if cfg.get("eval", {}).get("final_crf", False) and hasattr(trainer, "validate_crf"):
-        crf_metrics = trainer.validate_crf(result["state"], val_batches())
-        logger.log({f"final_crf_{k}": v for k, v in crf_metrics.items()},
-                   step=int(result["state"]["step"]))
+    # reload the BEST checkpoint for the final evaluation ± CRF
+    # (train.py:515-530; fit only saves on Cluster-mIoU improvement, so
+    # the latest saved step is the best state)
+    eval_state = result["state"]
+    if ckpt.latest_step() is not None:
+        eval_state = replicate(trainer.mesh, ckpt.restore(
+            template=jax.device_get(result["state"])))
+    _final_eval(cfg, trainer, eval_state, val_batches, logger)
     ckpt.close()      # wait for async orbax saves before interpreter exit
     logger.close()
     return result

@@ -41,6 +41,8 @@ class CheckpointManager:
 
     def restore(self, step: Optional[int] = None,
                 template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        # an in-flight async save of the requested step must land first
+        self._mgr.wait_until_finished()
         if step is None:
             step = self._mgr.latest_step()
         if step is None:

@@ -451,16 +451,27 @@ class Trainer:
         logger: Optional[MetricsLogger] = None,
         checkpointer=None,
         img_hw: Tuple[int, int] = (224, 224),
+        state: Optional[Dict[str, Any]] = None,
     ) -> Dict[str, Any]:
+        """Epoch loop.  ``state`` resumes mid-training from a restored
+        train state (a capability the reference lacks — its
+        resume.checkpoint jumps straight to final eval, train.py:428-432)."""
         logger = logger or MetricsLogger()
-        ts = self.init_state(jax.random.PRNGKey(self.tc.seed), img_hw)
+        if state is None:
+            ts = self.init_state(jax.random.PRNGKey(self.tc.seed), img_hw)
+        else:
+            from equss_tpu.parallel.mesh import replicate
+
+            ts = replicate(self.mesh, state)
         logger.banner(
             f"params: {count_params(ts['params'])} "
             f"(head+pq trainable), probes: {count_params(ts['probe_params'])}"
         )
         best = {"Cluster_mIoU": -1.0}
-        it = 0
-        for epoch in range(self.tc.max_epochs):
+        it = int(ts["step"])
+        start_epoch = it // max(int(self.cfg.get("_iter_per_epoch", 1)), 1) \
+            if state is not None else 0
+        for epoch in range(start_epoch, self.tc.max_epochs):
             t0 = time.time()
             # transfers overlap compute: the next batch device_puts while
             # the current step runs (train.py:66-70 non_blocking analogue)

@@ -162,3 +162,32 @@ def test_cli_knn_job(tmp_path):
     nns = np.load(out)["nns"]
     assert nns.shape[0] == 5
     np.testing.assert_array_equal(nns[:, 0], np.arange(5))
+
+
+def test_cli_best_checkpoint_eval_and_resume(tmp_path):
+    """Train -> the final eval runs on the restored BEST checkpoint; a
+    second eval-only invocation on that checkpoint reproduces the same
+    final metrics (reference resume semantics, train.py:428-432,515-530)."""
+    import glob
+    import json
+    import os
+
+    from equss_tpu.cli import main
+
+    result = main(["--config", "configs/smoke_synthetic.yaml", "--debug",
+                   f"save_dir={tmp_path}", "train.valid_interval_iters=100",
+                   "dataset.synthetic_batches=2"])
+    run_dirs = sorted(glob.glob(os.path.join(tmp_path, "*")))
+    assert run_dirs, "no run dir written"
+    ckpt_dir = os.path.join(run_dirs[0], "ckpt")
+    assert os.path.isdir(ckpt_dir), "no checkpoint saved for the best state"
+    metrics = [json.loads(l) for l in
+               open(os.path.join(run_dirs[0], "metrics.jsonl"))]
+    final = [m for m in metrics if "final_Cluster_mIoU" in m]
+    assert final, "no final eval logged"
+
+    result2 = main(["--config", "configs/smoke_synthetic.yaml", "--debug",
+                    f"save_dir={tmp_path}", "dataset.synthetic_batches=2",
+                    f"resume.checkpoint={ckpt_dir}", "resume.mode=eval"])
+    assert abs(result2["best"]["Cluster_mIoU"]
+               - final[-1]["final_Cluster_mIoU"]) < 1e-6
