@@ -771,10 +771,160 @@ class ResModel(_BackboneMixin):
 # Info — chained-VQ recon (dino_info.py:85-124)
 # ---------------------------------------------------------------------------
 
-class InfoModel(UnSegModel):
-    """Same skeleton as UnSeg with the chained projections applied to the
-    running feature (dino_info.py:96-105); reuses UnSegModel machinery."""
-    pass
+class _InfoNet(nn.Module):
+    """Trainable torso of DINOInfo (dino_info.py:17-84): EncResBlock
+    stack, per-VQ 1x1-conv+BN input projections, 1x1-conv+ReLU output
+    projections CHAINED on the running feature, a concat projection over
+    [all vq outputs; final running feature], and a DecResBlock decoder
+    closed by LayerNorm."""
+    feat_dim: int
+    embed_dims: tuple
+    enc_num_blocks: int
+    dec_num_blocks: int
+
+    def setup(self):
+        self.enc = _EncStack(self.feat_dim, self.enc_num_blocks)
+        self.vq_input_proj = [
+            nn.Dense(e, use_bias=False, name=f"vq_in_{i}")
+            for i, e in enumerate(self.embed_dims)]
+        self.vq_input_bn = [
+            nn.BatchNorm(name=f"vq_in_bn_{i}")
+            for i in range(len(self.embed_dims))]
+        # one per VQ level (dino_info.py:66-73), applied to the running
+        # feature itself — NOT to [feat; vq] like dino_unseg
+        self.vq_output_proj = [
+            nn.Dense(self.feat_dim, name=f"vq_out_{i}")
+            for i in range(len(self.embed_dims))]
+        self.concat_proj = nn.Dense(self.feat_dim, name="concat_proj")
+        self.dec = _DecStack(self.feat_dim, self.feat_dim,
+                             self.dec_num_blocks, last_norm=True)
+
+    def encode(self, feat):
+        return self.enc(feat)
+
+    def vq_input(self, i, feat, train=True):
+        x = self.vq_input_proj[i](feat)
+        return self.vq_input_bn[i](x, use_running_average=not train)
+
+    def vq_output(self, i, feat):
+        # chained Conv1x1 + ReLU on the running feature (dino_info.py:105)
+        return nn.relu(self.vq_output_proj[i](feat))
+
+    def decode(self, feat_vqs, train=True):
+        feat = self.concat_proj(jnp.concatenate(feat_vqs, axis=-1))
+        return feat, self.dec(feat, train=train)
+
+
+class InfoModel(_BackboneMixin):
+    """DINOInfo (dino_info.py:12-124): enc -> per-level {input-proj -> VQ;
+    output-proj chained on the running feature} -> append the FINAL
+    running feature to feat_vqs -> concat-proj -> dec -> LayerNorm'd
+    recon MSE against the DINO features."""
+
+    def __init__(self, cfg: Dict[str, Any]):
+        m = cfg["model"]
+        self._setup_backbone(m["pretrained"])
+        vq = m["vq"]
+        self.embed_dims = tuple(vq["embed_dims"])
+        self.num_vq = len(self.embed_dims)
+        self.pq_cfgs = [
+            PQConfig(
+                num_pq=1, num_codebook=vq["num_codebooks"][i],
+                embed_dim=self.embed_dims[i],
+                vq_type=vq.get("vq_type", "param"),
+                beta=vq.get("beta", 0.25), normalize=vq.get("normalize", "none"),
+                use_restart=vq.get("use_restart", False),
+                use_gumbel=vq.get("use_gumbel", False),
+                decay=vq.get("decay", 0.99), eps=vq.get("eps", 1e-5),
+            )
+            for i in range(self.num_vq)
+        ]
+        self.net = _InfoNet(
+            feat_dim=self.feat_dim, embed_dims=self.embed_dims,
+            enc_num_blocks=m.get("enc_num_blocks", 1),
+            dec_num_blocks=m.get("dec_num_blocks", 1),
+        )
+
+    def output_dim(self, output_type: str) -> int:
+        if output_type == "feat":
+            return self.feat_dim
+        i = int(output_type[2:])
+        # feat_vqs carries num_vq quantized levels + the final running
+        # feature (dino_info.py:107-108)
+        return self.embed_dims[i] if i < self.num_vq else self.feat_dim
+
+    def _full(self, net, feat, params, state, training, rng):
+        f = net.encode(feat)
+        outs: Dict[str, Any] = {}
+        feat_vqs = []
+        pq_states = []
+        for i in range(self.num_vq):
+            fi = net.vq_input(i, f, train=training)
+            z_q, idx, aux, new_s = pq_forward(
+                fi, params["pq"][i], state["pq"][i], self.pq_cfgs[i],
+                training=training,
+                rng=None if rng is None else jax.random.fold_in(rng, i),
+            )
+            pq_states.append(new_s)
+            feat_vqs.append(z_q)
+            outs[f"vq{i}-loss"] = aux["vq-loss"]
+            if "codebook-usage" in aux:
+                outs[f"vq{i}-usage"] = aux["codebook-usage"]
+            f = net.vq_output(i, f)
+        feat_vqs.append(f)            # final running feature joins the concat
+        agg, recon = net.decode(feat_vqs, train=training)
+        return agg, feat_vqs, outs, pq_states, recon
+
+    def init(self, key, img_hw=(224, 224), backbone_params=None):
+        keys = jax.random.split(key, 2 + self.num_vq)
+        backbone_params = self._init_backbone(keys[0], img_hw, backbone_params)
+        gh, gw = img_hw[0] // self.patch_size, img_hw[1] // self.patch_size
+        dummy = jnp.zeros((1, gh, gw, self.feat_dim))
+        pq_params, pq_states = [], []
+        for i, c in enumerate(self.pq_cfgs):
+            p, s = pq_init(keys[2 + i], c)
+            pq_params.append(p)
+            pq_states.append(s)
+        params_probe = {"pq": pq_params}
+        variables = self.net.init(
+            keys[1], dummy, params_probe, {"pq": pq_states}, False, None,
+            method=self._net_init_fn)
+        return (
+            {"backbone": backbone_params, "net": variables["params"],
+             "pq": pq_params},
+            {"pq": pq_states,
+             "batch_stats": variables.get("batch_stats", {})},
+        )
+
+    def _net_init_fn(self, net, feat, params, state, training, rng):
+        return self._full(net, feat, params, state, training, rng)
+
+    def apply(self, params, state, img, img_pos=None, *, training=False,
+              rng=None, **_):
+        feat_dino = self.features(params, img)
+        variables = {"params": params["net"]}
+        if state.get("batch_stats"):
+            variables["batch_stats"] = state["batch_stats"]
+        (agg, feat_vqs, outs, pq_states, recon), mutated = self.net.apply(
+            variables, feat_dino, params, state, training, rng,
+            method=self._net_init_fn,
+            mutable=["batch_stats"] if training else [],
+        )
+        outs["recon-loss"] = jnp.mean((recon - feat_dino) ** 2)
+        outs["vq-loss"] = sum(
+            outs[f"vq{i}-loss"] for i in range(self.num_vq)) / self.num_vq
+        new_state = {
+            "pq": pq_states,
+            "batch_stats": mutated.get("batch_stats",
+                                       state.get("batch_stats", {})),
+        }
+        return {
+            "feat": feat_dino,
+            "code": agg,
+            "z_q": feat_vqs[0],
+            "feat_vqs": feat_vqs,
+            "aux": outs,
+        }, new_state
 
 
 # ---------------------------------------------------------------------------

@@ -120,8 +120,24 @@ def test_res_variant():
 
 
 def test_info_variant():
+    """dino_info chaining: vq_output_proj applied to the RUNNING feature
+    and the final feature appended to feat_vqs (dino_info.py:96-108) —
+    structurally distinct from UnSegModel."""
     cfg = base_cfg("info")
     _run_one(cfg)
+
+    model = build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(0), img_hw=(16, 16))
+    img = np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32)
+    out, _ = model.apply(params, state, img, training=False)
+    n_vq = len(cfg["model"]["vq"]["embed_dims"])
+    assert len(out["feat_vqs"]) == n_vq + 1          # final feature appended
+    assert out["feat_vqs"][-1].shape[-1] == model.feat_dim
+    assert out["feat_vqs"][0].shape[-1] == cfg["model"]["vq"]["embed_dims"][0]
+    assert out["code"].shape[-1] == model.feat_dim   # concat-projected
+    # chained output projections exist once per VQ level
+    assert "vq_out_0" in params["net"]
+    assert "concat_proj" in params["net"]
 
 
 def test_pqgocls_variant():
