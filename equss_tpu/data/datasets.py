@@ -39,7 +39,9 @@ class _SegDataset:
     def __len__(self) -> int:
         return len(self.image_files)
 
-    def _load_pair(self, img_path: str, label_path: Optional[str]):
+    def _load_pair(self, img_path: str, label_path: Optional[str],
+                   rng: Optional[np.random.RandomState] = None):
+        rng = self.rng if rng is None else rng
         if self.crop_type == "random":
             # identical crop window for image and label (the reference
             # re-seeds both transforms, dataset_aug.py:192-199)
@@ -48,8 +50,8 @@ class _SegDataset:
 
             resized = resize_shorter_np(img_pil, self.res)
             w, h = resized.size
-            top = self.rng.randint(0, max(h - self.res, 0) + 1)
-            left = self.rng.randint(0, max(w - self.res, 0) + 1)
+            top = rng.randint(0, max(h - self.res, 0) + 1)
+            left = rng.randint(0, max(w - self.res, 0) + 1)
             img = prepare_image(img_pil, self.res, "random",
                                 crop_coords=(top, left))
             label = (load_label(label_path, self.res, "random",
@@ -66,12 +68,18 @@ class _SegDataset:
     def remap_label(self, label: np.ndarray) -> np.ndarray:
         return label
 
-    def __getitem__(self, index: int) -> Dict[str, Any]:
+    def get(self, index: int,
+            rng: Optional[np.random.RandomState] = None) -> Dict[str, Any]:
+        """Like __getitem__ but with an EXPLICIT rng for any random crop —
+        thread-safe and deterministic under parallel decode."""
         img, label = self._load_pair(self.image_files[index],
-                                     self.label_files[index])
+                                     self.label_files[index], rng)
         label = self.remap_label(label)
         return {"img": img, "label": label.astype(np.int32),
                 "img_path": self.image_files[index], "index": index}
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        return self.get(index, self.rng)
 
 
 class CocoSeg(_SegDataset):
@@ -173,9 +181,11 @@ class Potsdam(_SegDataset):
     def __len__(self) -> int:
         return len(self.files)
 
-    def __getitem__(self, index: int) -> Dict[str, Any]:
+    def get(self, index: int,
+            rng: Optional[np.random.RandomState] = None) -> Dict[str, Any]:
         from scipy.io import loadmat
 
+        rng = self.rng if rng is None else rng
         fid = self.files[index]
         img_arr = loadmat(join(self.root, "imgs", fid + ".mat"))["img"][..., :3]
         img_pil = Image.fromarray(img_arr.astype(np.uint8))
@@ -186,12 +196,15 @@ class Potsdam(_SegDataset):
             lbl_pil = Image.fromarray(
                 np.ones(img_arr.shape[:2], np.uint8) * 255)
 
-        img = prepare_image(img_pil, self.res, self.crop_type, self.rng)
-        label = load_label(lbl_pil, self.res, self.crop_type, self.rng)
+        img = prepare_image(img_pil, self.res, self.crop_type, rng)
+        label = load_label(lbl_pil, self.res, self.crop_type, rng)
         if self.coarse_labels:
             label = self.lut[np.clip(label, 0, 255)]
         return {"img": img, "label": label.astype(np.int32),
                 "img_path": fid, "index": index}
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        return self.get(index, self.rng)
 
 
 class CroppedDataset(_SegDataset):

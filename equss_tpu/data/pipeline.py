@@ -6,6 +6,15 @@ torch DataLoader machinery: a seeded epoch iterator collates numpy
 batches and (in train mode) attaches the kNN positive image sampled from
 the precomputed top-k neighbor cache (dataset_aug.py:519-527).
 
+Host parallelism replaces the reference's 8 DataLoader workers
+(build.py:183-198) with two GIL-friendly layers:
+  * ``num_workers`` threads decode the items of a batch concurrently
+    (PIL JPEG decode releases the GIL); per-item RandomState seeds keep
+    crops/neighbor draws deterministic regardless of thread scheduling;
+  * a background producer thread assembles up to ``prefetch`` batches
+    ahead, overlapping host decode with the (async-dispatched) device
+    step even on a single core.
+
 There is no DistributedSampler: under pjit the GLOBAL batch is assembled
 on the host and sharded over the mesh's data axis by the trainer, which
 is the JAX-native replacement for per-rank batch slicing
@@ -15,6 +24,9 @@ before constructing the pipeline.
 from __future__ import annotations
 
 import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from os.path import join
 from typing import Any, Dict, Iterator, Optional
 
@@ -38,10 +50,12 @@ class UnSegData:
         num_neighbors: int = 7,
         seed: int = 0,
         nns_path: Optional[str] = None,
+        num_workers: int = 0,
     ) -> None:
         self.mode = mode
         self.pos_images = pos_images
         self.num_neighbors = num_neighbors
+        self.num_workers = num_workers
         self.dataset = build_base_dataset(
             dataset_name, mode, data_dir, res, crop_type, crop_ratio,
             loader_crop_type, seed,
@@ -66,29 +80,34 @@ class UnSegData:
         return len(self.dataset)
 
     def item(self, index: int, rng: np.random.RandomState) -> Dict[str, Any]:
-        ret = dict(self.dataset[index])
+        ret = dict(self.dataset.get(index, rng)
+                   if hasattr(self.dataset, "get") else self.dataset[index])
         if self.nns is not None:
             # random 1..num_neighbors-th neighbor (dataset_aug.py:519-521)
             k = rng.randint(1, self.num_neighbors + 1)
             ind_pos = int(self.nns[index][k])
-            pos = self.dataset[ind_pos]
+            pos = (self.dataset.get(ind_pos, rng)
+                   if hasattr(self.dataset, "get") else self.dataset[ind_pos])
             ret["index_pos"] = ind_pos
             ret["img_pos"] = pos["img"]
             ret["label_pos"] = pos["label"]
         return ret
 
-    def batches(
-        self,
-        batch_size: int,
-        *,
-        shuffle: Optional[bool] = None,
-        seed: int = 0,
-        drop_last: Optional[bool] = None,
-        max_batches: Optional[int] = None,
-    ) -> Iterator[Dict[str, np.ndarray]]:
-        """Epoch iterator of collated numpy batches."""
-        shuffle = (self.mode == "train") if shuffle is None else shuffle
-        drop_last = shuffle if drop_last is None else drop_last
+    @staticmethod
+    def _collate(items) -> Dict[str, Any]:
+        batch: Dict[str, Any] = {}
+        for key in items[0]:
+            vals = [it[key] for it in items]
+            if isinstance(vals[0], np.ndarray):
+                batch[key] = np.stack(vals)
+            elif isinstance(vals[0], (int, np.integer)):
+                batch[key] = np.asarray(vals, np.int32)
+            else:
+                batch[key] = vals              # e.g. paths
+        return batch
+
+    def _epoch_batches(self, batch_size, shuffle, seed, drop_last,
+                       max_batches, pool) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.RandomState(seed)
         order = np.arange(len(self.dataset))
         if shuffle:
@@ -98,26 +117,97 @@ class UnSegData:
         count = 0
         for start in range(0, stop, batch_size):
             idxs = order[start: start + batch_size]
-            items = [self.item(int(i), rng) for i in idxs]
-            batch: Dict[str, Any] = {}
-            for key in items[0]:
-                vals = [it[key] for it in items]
-                if isinstance(vals[0], np.ndarray):
-                    batch[key] = np.stack(vals)
-                elif isinstance(vals[0], (int, np.integer)):
-                    batch[key] = np.asarray(vals, np.int32)
-                else:
-                    batch[key] = vals          # e.g. paths
-            yield batch
+            # one deterministic seed per item, drawn IN ORDER from the
+            # epoch rng, so crops/neighbor picks are reproducible no
+            # matter how threads interleave
+            seeds = rng.randint(0, 2**31 - 1, size=len(idxs))
+            fn = lambda args: self.item(          # noqa: E731
+                int(args[0]), np.random.RandomState(args[1]))
+            pairs = list(zip(idxs, seeds))
+            items = list(pool.map(fn, pairs)) if pool is not None \
+                else [fn(p) for p in pairs]
+            yield self._collate(items)
             count += 1
             if max_batches is not None and count >= max_batches:
                 return
 
+    def batches(
+        self,
+        batch_size: int,
+        *,
+        shuffle: Optional[bool] = None,
+        seed: int = 0,
+        drop_last: Optional[bool] = None,
+        max_batches: Optional[int] = None,
+        num_workers: Optional[int] = None,
+        prefetch: int = 2,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Epoch iterator of collated numpy batches; with num_workers > 0
+        decode runs in a thread pool and a producer thread keeps
+        ``prefetch`` batches ready (DataLoader-worker analogue,
+        build.py:183-198)."""
+        shuffle = (self.mode == "train") if shuffle is None else shuffle
+        drop_last = shuffle if drop_last is None else drop_last
+        workers = self.num_workers if num_workers is None else num_workers
+
+        if workers <= 0:
+            yield from self._epoch_batches(batch_size, shuffle, seed,
+                                           drop_last, max_batches, None)
+            return
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            gen = self._epoch_batches(batch_size, shuffle, seed, drop_last,
+                                      max_batches, pool)
+            q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
+            sentinel = object()
+
+            stop = threading.Event()
+
+            def put(x) -> bool:
+                while not stop.is_set():
+                    try:
+                        q.put(x, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
+            def produce():
+                try:
+                    for b in gen:
+                        if not put(b):
+                            return
+                    put(sentinel)
+                except BaseException as e:      # propagate to the consumer
+                    put(e)
+
+            t = threading.Thread(target=produce, daemon=True)
+            t.start()
+            try:
+                while True:
+                    out = q.get()
+                    if out is sentinel:
+                        break
+                    if isinstance(out, BaseException):
+                        raise out
+                    yield out
+            finally:
+                stop.set()      # unblock the producer if we exit early
+                t.join()
+
 
 def build_data(cfg: Dict[str, Any], mode: str, seed: int = 0) -> UnSegData:
-    """cfg['dataset'][mode] -> UnSegData (build.py:148-164 contract)."""
+    """cfg['dataset'][mode] -> UnSegData (build.py:148-164 contract);
+    cfg['dataloader'][mode]['num_workers'] maps to decode threads."""
     d = cfg["dataset"][mode]
+    # adaptive default: decode threads only help with spare cores — on a
+    # 1-core host the GIL ping-pong with the dispatch/transfer threads
+    # measurably HURTS (70.9 -> ~30 img/s full-loop on the bench box)
+    cpus = os.cpu_count() or 1
+    workers = (cfg.get("dataloader", {}).get(mode, {}) or {}).get(
+        "num_workers", min(8, cpus - 1) if cpus > 1 else 0)
     return UnSegData(
+        num_workers=workers,
         mode=mode,
         data_dir=d["data_dir"],
         dataset_name=d["dataset_name"],

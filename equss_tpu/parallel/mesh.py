@@ -147,23 +147,48 @@ def shard_quantizer(mesh: Mesh, params: Dict[str, Any],
 
 def device_prefetch(batches, mesh: Mesh, depth: int = 2,
                     axis_name: str = "data"):
-    """Iterator wrapper that device_puts `depth` batches ahead so the
-    host->device transfer overlaps the previous step's compute (JAX
-    dispatch is async).  The torch-DataLoader pin_memory/non_blocking
-    analogue (train.py:66-70) for the jit world."""
-    import collections
+    """Iterator wrapper that device_puts `depth` batches ahead ON A
+    TRANSFER THREAD, so host decode, host->device copy and the previous
+    step's compute all overlap (the torch-DataLoader pin_memory/
+    non_blocking analogue, train.py:66-70, for the jit world).  The
+    thread matters on hosts where device_put blocks while serializing
+    (e.g. a tunneled device): the main thread keeps decoding while the
+    copy drains."""
+    import queue as _queue
+    import threading
 
-    queue = collections.deque()
-    it = iter(batches)
-    try:
-        for _ in range(depth):
-            queue.append(shard_batch(mesh, next(it)))
-    except StopIteration:
-        pass
-    while queue:
-        out = queue.popleft()
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(depth, 1))
+    sentinel = object()
+    stop = threading.Event()
+
+    def put(x) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(x, timeout=0.1)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    def transfer():
         try:
-            queue.append(shard_batch(mesh, next(it)))
-        except StopIteration:
-            pass
-        yield out
+            for b in batches:
+                if not put(shard_batch(mesh, b, axis_name)):
+                    return
+            put(sentinel)
+        except BaseException as e:
+            put(e)
+
+    t = threading.Thread(target=transfer, daemon=True)
+    t.start()
+    try:
+        while True:
+            out = q.get()
+            if out is sentinel:
+                break
+            if isinstance(out, BaseException):
+                raise out
+            yield out
+    finally:
+        stop.set()
+        t.join()

@@ -234,12 +234,36 @@ class Trainer:
         # everything except the frozen backbone (dino_featurizer.py:18-21)
         return {k: v for k, v in params.items() if k != "backbone"}
 
+    # keys the jitted steps consume; everything else stays on the host
+    # (index/label_pos/paths ride the reference's DataLoader for free — over
+    # an interconnect every byte counts)
+    _DEVICE_KEYS = ("img", "img_pos", "aug_img", "feat", "feat_pos", "label")
+
+    def _host_trim(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Shrink a host batch to what the device step needs: consumed
+        keys only, labels narrowed to int8/int16 for the transfer (values
+        in [-1, num_classes); widened back to int32 in-graph)."""
+        out = {}
+        for k in self._DEVICE_KEYS:
+            v = batch.get(k)
+            if v is None:
+                continue
+            if k == "label" and hasattr(v, "dtype") and v.dtype.kind == "i":
+                narrow = np.int8 if self.tc.num_classes + self.tc.extra_classes < 127 \
+                    else np.int16
+                if v.dtype.itemsize > np.dtype(narrow).itemsize:
+                    v = np.asarray(v).astype(narrow)
+            out[k] = v
+        return out
+
     @staticmethod
     def _normalize_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
         out = dict(batch)
         for k in ("img", "img_pos", "aug_img"):
             if k in out and out[k] is not None:
                 out[k] = normalize_images(out[k])
+        if "label" in out and out["label"].dtype != jnp.int32:
+            out["label"] = out["label"].astype(jnp.int32)
         return out
 
     def _train_step_impl(self, ts: Dict[str, Any], batch: Dict[str, Any]):
@@ -390,7 +414,8 @@ class Trainer:
         linear_m = UnSegMetrics(self.tc.num_classes, 0,
                                 compute_hungarian=False)
         for batch in val_iter:
-            res = self._valid_crf_step(ts, shard_batch(self.mesh, batch))
+            res = self._valid_crf_step(
+                ts, shard_batch(self.mesh, self._host_trim(batch)))
             cluster_m.update_confusion(res["cluster_conf"])
             linear_m.update_confusion(res["linear_conf"])
         cluster = cluster_m.compute()
@@ -404,10 +429,12 @@ class Trainer:
 
     # ------------------------------------------------------------------ loops
     def train_step(self, ts, batch):
-        return self._train_step(ts, shard_batch(self.mesh, batch))
+        return self._train_step(
+            ts, shard_batch(self.mesh, self._host_trim(batch)))
 
     def valid_step(self, ts, batch):
-        return self._valid_step(ts, shard_batch(self.mesh, batch))
+        return self._valid_step(
+            ts, shard_batch(self.mesh, self._host_trim(batch)))
 
     def validate(self, ts, val_iter: Iterable[Dict[str, Any]]) -> Dict[str, float]:
         cluster_m = UnSegMetrics(self.tc.num_classes, self.tc.extra_classes,
@@ -416,7 +443,8 @@ class Trainer:
                                 compute_hungarian=False)
         losses = []
         has_cluster = True
-        for batch in device_prefetch(val_iter, self.mesh):
+        for batch in device_prefetch(map(self._host_trim, val_iter),
+                                     self.mesh):
             res = self._valid_step(ts, batch)
             has_cluster = "cluster_conf" in res
             if has_cluster:
@@ -475,7 +503,8 @@ class Trainer:
             t0 = time.time()
             # transfers overlap compute: the next batch device_puts while
             # the current step runs (train.py:66-70 non_blocking analogue)
-            for batch in device_prefetch(train_batches(epoch), self.mesh):
+            for batch in device_prefetch(
+                    map(self._host_trim, train_batches(epoch)), self.mesh):
                 ts, metrics = self._train_step(ts, batch)
                 it += 1
                 if it % self.tc.print_interval_iters == 0:

@@ -180,3 +180,40 @@ def test_knn_precompute_job(coco_root, tmp_path):
     assert nns.shape == (6, 4)
     # nearest neighbor of each image is itself (cosine similarity 1)
     np.testing.assert_array_equal(nns[:, 0], np.arange(6))
+
+
+def test_parallel_decode_matches_serial(coco_root, tmp_path):
+    """num_workers>0 thread decode + producer prefetch is bit-identical to
+    the serial path (per-item seeded rng; VERDICT r1 missing #5)."""
+    n = 6
+    nns = np.stack([np.roll(np.arange(n), -i)[:4] for i in range(n)])
+    nns_path = str(tmp_path / "nns_par.npz")
+    np.savez_compressed(nns_path, nns=nns)
+
+    data = UnSegData("train", coco_root, "cocostuff27", crop_type=None,
+                     loader_crop_type="center", res=32, pos_images=True,
+                     num_neighbors=3, nns_path=nns_path)
+    serial = list(data.batches(2, seed=7, num_workers=0))
+    parallel = list(data.batches(2, seed=7, num_workers=3, prefetch=2))
+    assert len(serial) == len(parallel)
+    for bs, bp in zip(serial, parallel):
+        assert sorted(bs) == sorted(bp)
+        for k in bs:
+            if isinstance(bs[k], np.ndarray):
+                np.testing.assert_array_equal(bs[k], bp[k], err_msg=k)
+
+    # early abandonment must not deadlock or leak a blocked producer
+    it = data.batches(2, seed=7, num_workers=2)
+    next(it)
+    it.close()
+
+
+def test_parallel_decode_random_crop_deterministic(coco_root):
+    """Random-crop draws are reproducible under threading."""
+    data = UnSegData("train", coco_root, "cocostuff27", crop_type=None,
+                     loader_crop_type="random", res=16)
+    a = list(data.batches(3, seed=3, num_workers=4))
+    b = list(data.batches(3, seed=3, num_workers=1))
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba["img"], bb["img"])
+        np.testing.assert_array_equal(ba["label"], bb["label"])
