@@ -70,14 +70,23 @@ def _make_batch_fns(cfg: Dict[str, Any]):
 
 
 def _final_eval(cfg, trainer, state, val_batches, logger) -> Dict[str, Any]:
-    """Final evaluation ± CRF on a (best) state (train.py:515-530)."""
-    final = trainer.validate(state, val_batches())
-    logger.log({f"final_{k}": v for k, v in final.items()},
-               step=int(state["step"]))
-    if cfg.get("eval", {}).get("final_crf", False):
-        crf_metrics = trainer.validate_crf(state, val_batches())
+    """Final evaluation ± CRF on a (best) state (train.py:515-530), with
+    PNG prediction dumps when is_visualize is set (train.py:338-356)."""
+    step = int(state["step"])
+    viz_dir = None
+    if cfg.get("is_visualize") and cfg.get("visualize_path"):
+        viz_dir = os.path.join(cfg["visualize_path"], str(step))
+    final_crf = cfg.get("eval", {}).get("final_crf", False)
+    # the reference visualizes during the CRF pass; without one, the
+    # plain final eval carries the dump
+    final = trainer.validate(state, val_batches(),
+                             visualize_to=None if final_crf else viz_dir)
+    logger.log({f"final_{k}": v for k, v in final.items()}, step=step)
+    if final_crf:
+        crf_metrics = trainer.validate_crf(state, val_batches(),
+                                           visualize_to=viz_dir)
         logger.log({f"final_crf_{k}": v for k, v in crf_metrics.items()},
-                   step=int(state["step"]))
+                   step=step)
         final.update({f"crf_{k}": v for k, v in crf_metrics.items()})
     return final
 

@@ -406,26 +406,45 @@ class Trainer:
             "cluster_preds": cluster_preds,
         }
 
-    def validate_crf(self, ts, val_iter: Iterable[Dict[str, Any]]) -> Dict[str, float]:
+    def validate_crf(self, ts, val_iter: Iterable[Dict[str, Any]], *,
+                     visualize_to: Optional[str] = None) -> Dict[str, float]:
         if not hasattr(self, "_valid_crf_step"):
             self._valid_crf_step = jax.jit(self._valid_crf_step_impl)
         cluster_m = UnSegMetrics(self.tc.num_classes, self.tc.extra_classes,
                                  compute_hungarian=True)
         linear_m = UnSegMetrics(self.tc.num_classes, 0,
                                 compute_hungarian=False)
+        saved = {"linear_preds": [], "cluster_preds": [], "label": []}
         for batch in val_iter:
-            res = self._valid_crf_step(
-                ts, shard_batch(self.mesh, self._host_trim(batch)))
+            batch = self._host_trim(batch)
+            res = self._valid_crf_step(ts, shard_batch(self.mesh, batch))
             cluster_m.update_confusion(res["cluster_conf"])
             linear_m.update_confusion(res["linear_conf"])
+            if visualize_to:
+                saved["linear_preds"].append(np.asarray(res["linear_preds"]))
+                saved["cluster_preds"].append(np.asarray(res["cluster_preds"]))
+                saved["label"].append(np.asarray(batch["label"]))
         cluster = cluster_m.compute()
         linear = linear_m.compute()
+        if visualize_to and saved["linear_preds"]:
+            self._visualize(visualize_to, saved, cluster_m)
         return {
             "Cluster_mIoU": cluster["iou"],
             "Cluster_Accuracy": cluster["accuracy"],
             "Linear_mIoU": linear["iou"],
             "Linear_Accuracy": linear["accuracy"],
         }
+
+    def _visualize(self, out_dir: str, saved: Dict[str, list],
+                   cluster_m) -> None:
+        """PNG dumps of predictions with the Hungarian-remapped cluster
+        ids (train.py:338-356, visualize_utils.py:38-62)."""
+        from equss_tpu.utils.visualize import visualization
+
+        data = {k: np.concatenate(v) for k, v in saved.items()}
+        name = self.cfg.get("dataset", {}).get("val", {}).get(
+            "dataset_name", "cocostuff27")
+        visualization(out_dir, name, data, cluster_m)
 
     # ------------------------------------------------------------------ loops
     def train_step(self, ts, batch):
@@ -436,13 +455,15 @@ class Trainer:
         return self._valid_step(
             ts, shard_batch(self.mesh, self._host_trim(batch)))
 
-    def validate(self, ts, val_iter: Iterable[Dict[str, Any]]) -> Dict[str, float]:
+    def validate(self, ts, val_iter: Iterable[Dict[str, Any]], *,
+                 visualize_to: Optional[str] = None) -> Dict[str, float]:
         cluster_m = UnSegMetrics(self.tc.num_classes, self.tc.extra_classes,
                                  compute_hungarian=True)
         linear_m = UnSegMetrics(self.tc.num_classes, 0,
                                 compute_hungarian=False)
         losses = []
         has_cluster = True
+        saved = {"linear_preds": [], "cluster_preds": [], "label": []}
         for batch in device_prefetch(map(self._host_trim, val_iter),
                                      self.mesh):
             res = self._valid_step(ts, batch)
@@ -450,8 +471,16 @@ class Trainer:
             if has_cluster:
                 cluster_m.update_confusion(res["cluster_conf"])
             linear_m.update_confusion(res["linear_conf"])
+            if visualize_to and has_cluster:
+                saved["linear_preds"].append(np.asarray(res["linear_preds"]))
+                saved["cluster_preds"].append(np.asarray(res["cluster_preds"]))
+                saved["label"].append(np.asarray(batch["label"]))
             losses.append((float(res["linear_loss"]),
                            float(res.get("cluster_loss", 0.0))))
+        if visualize_to and has_cluster and saved["linear_preds"]:
+            # compute() must run first so the Hungarian assignment exists
+            cluster_m.compute()
+            self._visualize(visualize_to, saved, cluster_m)
         linear = linear_m.compute()
         lin_l = float(np.mean([x[0] for x in losses])) if losses else 0.0
         clu_l = float(np.mean([x[1] for x in losses])) if losses else 0.0

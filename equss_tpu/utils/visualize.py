@@ -29,7 +29,7 @@ def _colormap_for(dataset_name: str) -> np.ndarray:
 
 
 def _save_colored(arr: np.ndarray, cmap: np.ndarray, path: str) -> None:
-    arr = np.asarray(arr)
+    arr = np.asarray(arr).astype(np.int32)   # labels may arrive int8
     safe = np.clip(arr, 0, len(cmap) - 1)
     rgb = cmap[safe].astype(np.uint8)
     rgb[arr < 0] = 0
