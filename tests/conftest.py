@@ -15,3 +15,12 @@ import jax  # noqa: E402
 # and the config so tests always run on the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: most suite wall-clock is XLA compiles of
+# near-identical tiny graphs; cache them across tests AND runs.
+import os as _os  # noqa: E402
+
+_cache_dir = _os.path.join(_os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
