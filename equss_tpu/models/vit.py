@@ -46,6 +46,13 @@ class ViTConfig:
     # under fp16 autocast (train.py:80), so bf16 here is comparable
     # numerics; leave False for strict-f32 parity runs.
     attn_bf16: bool = False
+    # fused Pallas attention (ops/attention.py): probabilities never hit
+    # HBM; active in attn_bf16 mode when attention maps aren't requested
+    # and the sequence is long enough to win (at 785 tokens XLA's fused
+    # softmax chain is on par; at 1601 the kernel measures +13% end to
+    # end on v5e — the quadratic HBM saving grows with N).
+    fused_attn: bool = True
+    fused_attn_min_n: int = 1024
 
     @property
     def head_dim(self) -> int:
@@ -77,7 +84,8 @@ class Attention(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray,
+                 want_attn: bool = False) -> Tuple[jnp.ndarray, Any]:
         cfg = self.cfg
         B, N, C = x.shape
         qkv = nn.Dense(3 * C, use_bias=cfg.qkv_bias, dtype=cfg.dtype,
@@ -85,11 +93,19 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, cfg.num_heads, cfg.head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]     # (B, N, H, hd)
         scale = cfg.head_dim ** -0.5
-        acc_t = cfg.dtype if (cfg.attn_bf16 and cfg.dtype == jnp.bfloat16)             else jnp.float32
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                          preferred_element_type=acc_t) * scale
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(cfg.dtype), v)
+        if (cfg.fused_attn and not want_attn and N >= cfg.fused_attn_min_n
+                and cfg.attn_bf16 and cfg.dtype == jnp.bfloat16):
+            from equss_tpu.ops.attention import fused_attention
+
+            out = fused_attention(q, k, v, scale=scale)        # (B, N, H, hd)
+            attn = None
+        else:
+            acc_t = cfg.dtype if (cfg.attn_bf16 and cfg.dtype == jnp.bfloat16) \
+                else jnp.float32
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                              preferred_element_type=acc_t) * scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(cfg.dtype), v)
         out = out.reshape(B, N, C).astype(cfg.dtype)
         out = nn.Dense(C, dtype=cfg.dtype, name="proj")(out)
         return out, attn
@@ -112,10 +128,12 @@ class Block(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray,
+                 want_attn: bool = False) -> Tuple[jnp.ndarray, Any]:
         cfg = self.cfg
         y, attn = Attention(cfg, name="attn")(
-            nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm1")(x)
+            nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm1")(x),
+            want_attn=want_attn,
         )
         x = x + y
         x = x + Mlp(cfg, name="mlp")(
@@ -189,7 +207,7 @@ class VisionTransformer(nn.Module):
         feats: List[jnp.ndarray] = []
         attns: List[jnp.ndarray] = []
         for i in range(cfg.depth):
-            x, attn = Block(cfg, name=f"blocks_{i}")(x)
+            x, attn = Block(cfg, name=f"blocks_{i}")(x, want_attn=want_attn)
             if cfg.depth - i <= n_last:
                 feats.append(final_ln(x))
                 if want_attn:
