@@ -686,16 +686,26 @@ class VAEModel(_BackboneMixin):
 # ---------------------------------------------------------------------------
 
 class ResModel(_BackboneMixin):
-    """dino_res.py:15-162 capability.  The reference runs an inner
-    adversarial optimizer loop over the CLUB encoder inside forward
-    (:106-143); here the CLUB likelihood loss is exposed as
-    aux['club-enc-loss'] and the trainer owns its optimizer (the JAX
-    train step is pure), which removes the GradScaler/optimizer
-    side-effects from the model."""
+    """dino_res.py:15-199 capability: semantic + local encoders, recon,
+    InfoNCE positive between the aug halves of the semantic features, and
+    an ADVERSARIAL CLUB MI-upper-bound negative between the aug halves of
+    the local features.
+
+    The reference trains the CLUB encoder with its own Adam in an inner
+    mi_iter loop inside forward (:106-143, :160-162), excluded from the
+    model optimizer (build.py:80-82).  Functionally here: the CLUB
+    encoder params + their optimizer state live in ``state`` and a
+    lax.scan runs the mi_iter likelihood-ascent updates on the detached
+    local features inside the (pure) step; the model's club-loss is then
+    computed against the freshly-updated, stop-gradient'd encoder —
+    identical min-max order to the reference, no optimizer side effects.
+    """
 
     consumes_aug = True
 
     def __init__(self, cfg: Dict[str, Any]):
+        import optax
+
         m = cfg["model"]
         self._setup_backbone(m["pretrained"])
         self.hidden_dim = m.get("hidden_dim", 512)
@@ -710,6 +720,15 @@ class ResModel(_BackboneMixin):
             neg_sample=ince.get("neg_sample", 10),
             temperature=ince.get("temperature", 1.0),
             cal_type=ince.get("cal_type", "random"),
+        )
+        club_cfg = cfg["loss"].get("club", {}) or {}
+        # inner adversarial iterations + clip (res_baseline.yaml:45-47)
+        self.mi_iter = int(club_cfg.get("mi_iter", 5))
+        self.club_clip = float(club_cfg.get("clip_grad", 1.0))
+        copt = (cfg.get("optimizer", {}) or {}).get("club_enc", {}) or {}
+        self.club_tx = optax.chain(
+            optax.clip_by_global_norm(self.club_clip),
+            optax.adam(float(copt.get("lr", 3.0e-6))),
         )
 
     def output_dim(self, output_type: str) -> int:
@@ -726,8 +745,17 @@ class ResModel(_BackboneMixin):
         club = self.club.init(keys[3], dummy_h)["params"]
         dec = self.dec.init(
             keys[4], jnp.zeros((1, gh, gw, 2 * self.hidden_dim)))["params"]
+        state = {"club_enc": club, "club_opt": self.club_tx.init(club)}
         return ({"backbone": backbone_params, "semantic": sem, "local": loc,
-                 "club_enc": club, "dec": dec}, {})
+                 "dec": dec}, state)
+
+    def _club_nll(self, club_params, loc_1, loc_2):
+        """-loglikeli of the second aug half under the encoder's Gaussian
+        prediction from the first (dino_res.py:126-131)."""
+        mu, logvar = self.club.apply({"params": club_params}, loc_1)
+        flat2 = loc_2.reshape(-1, self.hidden_dim)
+        return jnp.mean(
+            jnp.sum((flat2 - mu) ** 2 / jnp.exp(logvar) + logvar, axis=-1))
 
     def apply(self, params, state, img, img_pos=None, aug_img=None, *,
               training=False, rng=None, **_):
@@ -742,6 +770,7 @@ class ResModel(_BackboneMixin):
         recon = self.dec.apply({"params": params["dec"]},
                                jnp.concatenate([semantic, local], -1))
         aux: Dict[str, Any] = {"recon-loss": jnp.mean((recon - feat_dino) ** 2)}
+        new_state = state
 
         if training and aug_img is not None and rng is not None:
             b = img.shape[0]
@@ -749,22 +778,36 @@ class ResModel(_BackboneMixin):
                 jax.random.fold_in(rng, 3), semantic[:b], semantic[b:],
                 **self.info_nce_kwargs)
             aux["info_nce-loss"] = aux["info_nce"]
-            # CLUB: minimize MI upper bound between semantic and local
-            p_mu, p_logvar = self.club.apply(
-                {"params": jax.lax.stop_gradient(params["club_enc"])},
-                jax.lax.stop_gradient(local[:b]))
-            aux["club-loss"] = club_loss(semantic[:b], p_mu, p_logvar)
-            # CLUB encoder likelihood (trained by its own optimizer on
-            # detached features, dino_res.py:106-131)
+
+            # inner adversarial loop: mi_iter likelihood updates of the
+            # CLUB encoder on the detached local halves (dino_res.py:160-162)
             d_loc = jax.lax.stop_gradient(local)
-            mu2, lv2 = self.club.apply({"params": params["club_enc"]},
-                                       d_loc[:b])
-            flat2 = d_loc[b:].reshape(-1, self.hidden_dim)
-            aux["club-enc-loss"] = jnp.mean(
-                jnp.sum((flat2 - mu2) ** 2 / jnp.exp(lv2) + lv2, axis=-1))
+            loc_1, loc_2 = d_loc[:b], d_loc[b:]
+
+            def club_step(carry, _):
+                cp, copt = carry
+                nll, grads = jax.value_and_grad(self._club_nll)(
+                    cp, loc_1, loc_2)
+                updates, copt = self.club_tx.update(grads, copt, cp)
+                cp = jax.tree.map(lambda p, u: p + u, cp, updates)
+                return (cp, copt), nll
+
+            (club_new, copt_new), nlls = jax.lax.scan(
+                club_step, (state["club_enc"], state["club_opt"]),
+                None, length=self.mi_iter)
+            aux["club-enc-loss"] = nlls[-1]
+            aux["club-enc-loss-first"] = nlls[0]
+
+            # MI upper bound against the updated, frozen encoder; grads
+            # flow into local_enc only (dino_res.py:195-197 + the model
+            # optimizer excluding club_enc, build.py:80-82)
+            p_mu, p_logvar = self.club.apply(
+                {"params": jax.lax.stop_gradient(club_new)}, local[:b])
+            aux["club-loss"] = club_loss(local[b:], p_mu, p_logvar)
+            new_state = {"club_enc": club_new, "club_opt": copt_new}
             semantic = semantic[:b]
         return {"feat": feat_dino[: img.shape[0]], "code": semantic,
-                "aux": aux}, state
+                "aux": aux}, new_state
 
 
 # ---------------------------------------------------------------------------

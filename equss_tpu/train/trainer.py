@@ -128,8 +128,10 @@ class Trainer:
                 "entropy_weight", 0.0))
             if ew > 0.0:
                 self.loss_weights["entropy"] = ew
-        if "club-loss" in self.loss_weights:
-            self.loss_weights["club-enc-loss"] = 1.0
+        # NB the CLUB encoder is adversarial machinery the model trains
+        # itself (inner mi_iter loop in ResModel.apply with its own
+        # optimizer, mirroring dino_res.py:160-162) — club-enc-loss is
+        # telemetry here, never part of the joint objective.
 
         # photometric augmentation for aug-consuming variants: the
         # reference's train dataset emits aug_img per sample on the host
@@ -308,7 +310,8 @@ class Trainer:
                 metrics["cluster-loss"] = ev["cluster_loss"]
             for k in ("stego-loss", "vq-loss", "codebook-usage", "codebook-sum",
                       "jsd", "entropy", "recon-loss", "info_nce-loss",
-                      "margin-loss", "club-loss", "club-enc-loss", "mse-loss",
+                      "margin-loss", "club-loss", "club-enc-loss",
+                      "club-enc-loss-first", "mse-loss",
                       "cls-loss", "contra-loss-pos", "contra-loss-neg"):
                 if k in aux:
                     metrics[k] = aux[k]

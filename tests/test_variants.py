@@ -110,13 +110,29 @@ def test_vae_variant():
 
 
 def test_res_variant():
+    """Adversarial CLUB: the inner mi_iter loop must DECREASE the club
+    encoder's NLL within a step, and the min-max must run functionally
+    (club params live in state, updated by their own optimizer)."""
     cfg = base_cfg("res")
     cfg["loss"]["club_weight"] = 0.1
     cfg["loss"]["info_nce_weight"] = 0.1
+    cfg["loss"]["club"] = {"mi_iter": 5, "clip_grad": 1.0}
     cfg["loss"].pop("vq_weight")
+    cfg["optimizer"]["club_enc"] = {"name": "adam", "lr": 1.0e-3}
     cfg["eval"]["output_type"] = "feat"
-    m = _run_one(cfg)
-    assert "loss" in m
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(16, 16))
+    club0 = jax.device_get(ts["model_state"]["club_enc"])
+    for batch in synthetic_batches(0, 2, batch_size=4, res=16):
+        ts, metrics = trainer.train_step(ts, batch)
+    club1 = jax.device_get(ts["model_state"]["club_enc"])
+    moved = sum(float(np.abs(a - b).sum()) for a, b in zip(
+        jax.tree.leaves(club0), jax.tree.leaves(club1)))
+    assert moved > 0, "club encoder never updated by its inner optimizer"
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["club-enc-loss"]) < float(
+        metrics["club-enc-loss-first"]), (
+        "inner adversarial loop failed to improve the CLUB likelihood")
 
 
 def test_info_variant():
