@@ -505,6 +505,18 @@ class SPQModel(_BackboneMixin):
 # ---------------------------------------------------------------------------
 
 class ClusterModel(_BackboneMixin):
+    """dino_cluster.py:19-166 capability: encoder + margin ranking between
+    ori/aug correlation matrices — plus a LIVE SwAV prototype/Sinkhorn
+    path (cluster_swav.yaml).  The reference shipped the SwAV machinery
+    commented out (dino_cluster.py:37-52,123-164) with its ClusterLoss
+    live in loss.py:267-340 and a never-constructed queue; here the path
+    works: L2-normalized prototypes, Sinkhorn targets, a fixed-size
+    functional embedding queue gated on queue_start_iter, and prototype
+    gradients frozen for the first freeze_prototypes_niter steps (SwAV
+    semantics).  Queue/iteration live in model_state so the step stays
+    pure under jit.
+    """
+
     consumes_aug = True
 
     def __init__(self, cfg: Dict[str, Any]):
@@ -514,16 +526,51 @@ class ClusterModel(_BackboneMixin):
         self.enc_num_blocks = m.get("enc_num_blocks", 1)
         self.net = _EncStack(self.hidden_dim, self.enc_num_blocks)
 
+        lc = cfg.get("loss", {}) or {}
+        self.swav = float(lc.get("swav_weight", 0.0) or 0.0) > 0.0
+        cl = lc.get("cluster", {}) or {}
+        self.num_prototypes = int(cl.get("num_prototypes", 1024))
+        self.swav_temp = float(cl.get("temperature", 0.1))
+        self.swav_eps = float(cl.get("eps", 0.03))
+        self.queue_start_iter = int(cl.get("queue_start_iter", 150))
+        self.queue_stack_iter = int(cl.get("queue_stack_iter", 5))
+        self.freeze_protos_niter = int(cl.get("freeze_prototypes_niter", 100))
+        # the reference queue would hold queue_stack_iter full 2bhw batches
+        # (loss.py:320-334) — unbounded at 64x28x28; bound it and stride-
+        # subsample each batch into queue_len // queue_stack_iter slots
+        self.queue_len = int(cl.get("queue_len", 4096))
+        self.use_infonce = float(lc.get("info_nce_weight", 0.0) or 0.0) > 0.0
+        ince = lc.get("info_nce", {}) or {}
+        self.info_nce_kwargs = dict(
+            normalize=ince.get("normalize", "l2"),
+            neg_sample=ince.get("neg_sample", 100),
+            temperature=ince.get("temperature", 1.0),
+            cal_type=ince.get("cal_type", "random"),
+        )
+
     def output_dim(self, output_type: str) -> int:
         return self.hidden_dim
 
     def init(self, key, img_hw=(224, 224), backbone_params=None):
-        k0, k1 = jax.random.split(key)
+        k0, k1, k2 = jax.random.split(key, 3)
         backbone_params = self._init_backbone(k0, img_hw, backbone_params)
         gh, gw = img_hw[0] // self.patch_size, img_hw[1] // self.patch_size
         net_params = self.net.init(
             k1, jnp.zeros((1, gh, gw, self.feat_dim)))["params"]
-        return {"backbone": backbone_params, "net": net_params}, {}
+        params = {"backbone": backbone_params, "net": net_params}
+        state: Dict[str, Any] = {}
+        if self.swav:
+            # nn.Linear(semantic_dim, num_prototypes, bias=False) analogue
+            w = jax.random.normal(
+                k2, (self.num_prototypes, self.hidden_dim)) / jnp.sqrt(
+                    jnp.asarray(self.hidden_dim, jnp.float32))
+            params["prototypes"] = w
+            state = {
+                "swav_queue": jnp.zeros((self.queue_len, self.hidden_dim)),
+                "swav_queue_n": jnp.zeros((), jnp.int32),
+                "swav_it": jnp.zeros((), jnp.int32),
+            }
+        return params, state
 
     def apply(self, params, state, img, img_pos=None, aug_img=None, *,
               training=False, rng=None, **_):
@@ -534,13 +581,65 @@ class ClusterModel(_BackboneMixin):
         feat_dino = self.features(params, img2)
         semantic = self.net.apply({"params": params["net"]}, feat_dino)
         aux: Dict[str, Any] = {}
+        new_state = state
         if training and aug_img is not None:
             b = img.shape[0]
             aux["margin"] = margin_ranking_loss(semantic[:b], semantic[b:])
             aux["margin-loss"] = aux["margin"]
+            if self.swav:
+                aux, new_state = self._swav(params, state, semantic, aux)
+            if self.use_infonce and rng is not None:
+                aux["info_nce"] = info_nce_loss(
+                    jax.random.fold_in(rng, 23), semantic[:b], semantic[b:],
+                    **self.info_nce_kwargs)
+                aux["info_nce-loss"] = aux["info_nce"]
             semantic = semantic[:b]
         return {"feat": feat_dino[: img.shape[0]], "code": semantic,
-                "aux": aux}, state
+                "aux": aux}, new_state
+
+    def _swav(self, params, state, semantic, aux):
+        from equss_tpu.losses.sinkhorn import cluster_loss
+
+        it = state["swav_it"]
+        # both views participate, like the commented reference intent
+        # (dino_cluster.py:123-146): flatten to (2bhw, d), L2-normalize
+        emb = semantic.reshape(-1, self.hidden_dim)
+        emb = emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        w = params["prototypes"]
+        w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
+        # SwAV freezes prototype grads early in training
+        # (cluster_swav.yaml freeze_prototypes_niter)
+        w = jnp.where(it < self.freeze_protos_niter,
+                      jax.lax.stop_gradient(w), w)
+        scores = emb @ w.T                                    # (2bhw, K)
+
+        queue = state["swav_queue"]
+        q_scores = jax.lax.stop_gradient(queue @ w.T)         # (L, K)
+        q_valid = (
+            (jnp.arange(self.queue_len) < state["swav_queue_n"])
+            & (it >= self.queue_start_iter)
+        )
+        aux["swav-loss"] = cluster_loss(
+            scores, temperature=self.swav_temp, epsilon=self.swav_eps,
+            queue_scores=q_scores, queue_valid=q_valid)
+
+        # FIFO insert a strided subsample of this batch's embeddings
+        # (queue[bhw:] = queue[:-bhw]; queue[:bhw] = embedding in the
+        # reference ClusterLoss, loss.py:330-334)
+        n = emb.shape[0]
+        block = max(1, min(self.queue_len // max(1, self.queue_stack_iter), n))
+        idx = (jnp.arange(block) * n) // block
+        new_queue = jnp.concatenate(
+            [jax.lax.stop_gradient(emb[idx]), queue[:-block]], axis=0)
+        new_state = dict(
+            state,
+            swav_queue=new_queue,
+            swav_queue_n=jnp.minimum(
+                state["swav_queue_n"] + block, self.queue_len),
+            swav_it=it + 1,
+        )
+        return aux, new_state
 
 
 # ---------------------------------------------------------------------------

@@ -310,7 +310,7 @@ class Trainer:
                 metrics["cluster-loss"] = ev["cluster_loss"]
             for k in ("stego-loss", "vq-loss", "codebook-usage", "codebook-sum",
                       "jsd", "entropy", "recon-loss", "info_nce-loss",
-                      "margin-loss", "club-loss", "club-enc-loss",
+                      "margin-loss", "swav-loss", "club-loss", "club-enc-loss",
                       "club-enc-loss-first", "mse-loss",
                       "cls-loss", "contra-loss-pos", "contra-loss-neg"):
                 if k in aux:

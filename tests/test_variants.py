@@ -100,6 +100,38 @@ def test_cluster_variant():
     _run_one(cfg)
 
 
+def test_cluster_swav_variant():
+    """Live SwAV path (cluster_swav.yaml): prototypes + Sinkhorn loss +
+    functional queue.  queue_start_iter=1 so the queue activates on the
+    second step; stride subsample fills queue_len//queue_stack_iter slots
+    per step."""
+    cfg = base_cfg("cluster")
+    cfg["loss"] = {
+        "margin_weight": 0.1,
+        "swav_weight": 1.0,
+        "cluster": {"num_prototypes": 8, "temperature": 0.1, "eps": 0.03,
+                    "queue_start_iter": 1, "queue_stack_iter": 2,
+                    "queue_len": 16, "freeze_prototypes_niter": 1},
+    }
+    cfg["eval"]["output_type"] = "feat"
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(16, 16))
+    protos0 = np.asarray(ts["params"]["prototypes"])
+    metrics_seq = []
+    for batch in synthetic_batches(0, 3, batch_size=2, res=16):
+        ts, metrics = trainer.train_step(ts, batch)
+        metrics_seq.append({k: float(v) for k, v in metrics.items()})
+    for m in metrics_seq:
+        assert np.isfinite(m["swav-loss"]), m
+    st = jax.tree.map(np.asarray, ts["model_state"])
+    assert int(st["swav_it"]) == 3
+    # queue_len//queue_stack_iter = 8 slots per step, capped at 16
+    assert int(st["swav_queue_n"]) == 16
+    assert np.any(st["swav_queue"] != 0.0)
+    # prototypes train after the freeze window (frozen only at it=0)
+    assert np.any(np.asarray(ts["params"]["prototypes"]) != protos0)
+
+
 def test_vae_variant():
     cfg = base_cfg("vae")
     cfg["model"]["vq"]["num_codebooks"] = [8, 8]
@@ -292,10 +324,10 @@ def test_unmatched_loss_weight_raises():
     """A configured weight whose aux key the model never emits must fail
     loudly at trace time (VERDICT r1 weak #5)."""
     cfg = base_cfg("cluster")
-    cfg["loss"] = {"margin_weight": 0.1, "swav_weight": 1.0}  # cluster has no swav
+    cfg["loss"] = {"margin_weight": 0.1, "stego_weight": 1.0}  # cluster has no stego
     cfg["eval"]["output_type"] = "feat"
     trainer = Trainer(cfg, mesh=make_mesh(1))
     ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(16, 16))
     batch = next(iter(synthetic_batches(0, 1, batch_size=4, res=16)))
-    with pytest.raises(ValueError, match="swav"):
+    with pytest.raises(ValueError, match="stego"):
         trainer.train_step(ts, batch)
