@@ -1,24 +1,54 @@
 """Pallas fused product-quantization assignment kernel.
 
 The hot op of EQUSS inference (BASELINE.json north star): for M
-subspaces at once, pairwise-L2 distances -> first-min argmin -> one-hot
-codeword gather, fused in VMEM.
+subspaces at once, per-subspace normalization -> pairwise-L2 distances
+-> first-min argmin -> one-hot codeword gather, fused in VMEM.
 
 Why a kernel: the XLA path materializes the (n, M, K) distance tensor in
-HBM (n=50k, M=64, K=256 -> 3.3 GB written + read back for the argmin).
-Here each n-tile computes its (TILE_N, K) distance block per subspace in
-VMEM registers, reduces it immediately, and emits only indices
-(n, M, int32) and quantized vectors (n, D) — the distance tensor never
-exists.  Measured: 45 ms -> ~2 ms for the distance+argmin of a
-64x224x224 batch on v5e.
+HBM (n=50k, M=64, K=256 -> 3.3 GB written + read back for the argmin,
+~8 ms at v5e bandwidth).  Here each tile computes its distances in VMEM
+and emits only indices (n, M), the normalized input (n, D) and
+optionally the quantized vectors (n, D) — the distance tensor never
+exists.
 
-Parity: distances in fp32 with HIGHEST-precision dots and jnp.argmin
-first-minimum tie-break — bit-identical to the XLA/torch path (tested).
+Grid layout: 2-D (subspace-group, n-tile).  Each program handles G =
+128//d subspaces, so its body is a handful of large ops — one
+block-diagonal (TILE_N, G*d) @ (G*d, G*K) cross-term dot at full MXU
+contraction depth, G slice argmins, and one grouped one-hot gather dot.
+A single-program variant that unrolled all M=64 subspaces (hundreds of
+small d=16-lane ops) compiled for minutes, often failed server-side,
+and ran 32 ms; this layout compiles in seconds and lets Mosaic pipeline
+HBM->VMEM copies across the 8x98 grid steps.
+
+Measured (v5e, n=50176 M=64 K=256 d=16, l2, scalar-fetch timing):
+17.9 ms exact / 12.0 ms without the gather; the bf16 fast mode is
+within noise of exact (19 ms) — the cross dot is NOT the bottleneck at
+d=16 (6-pass f32 emulation ~6 ms is hidden), the VPU-side argmin +
+one-hot build over the (n, G*K) score rows is.  The in-graph XLA path
+measures ~14 ms end-to-end (HBM-bound on the 3.3 GB distance tensor but
+better pipelined), so the kernel is opt-in (PQConfig.use_pallas) until
+the VPU side is beaten; it IS the memory-frugal choice when the
+(n, M, K) tensor cannot fit (e.g. val-res 320^2 batches: 8.4 GB).
+
+Per-subspace normalization (l2 / z_norm / z_trainable,
+dino_pqgo.py:369-390) runs in-kernel via segment matmuls: reductions
+over each d-wide segment are one (TILE_N, G*d) @ (G*d, G) dot with a
+0/1 segment matrix and the broadcast back is its transpose — fully
+lane-utilized, no (n, M, d) layout (d=16 pads 8x) ever in HBM.
+
+Parity: distances in fp32 with HIGHEST-precision dots and first-minimum
+argmin tie-break — matches the XLA/torch reference path (tested; the
+block-diagonal zero padding contributes exact fp zeros, so sums are
+bit-identical).  exact=False uses bf16 inputs with f32 accumulation —
+the same arithmetic the torch reference runs under fp16 autocast
+(train.py:80).  The codeword gather is a one-hot matmul against a
+3-way bf16 split of the codebook: selection sums are exact per pass and
+the recombined f32 value equals the source codeword bit-for-bit.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,117 +56,262 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pq_assign_kernel(M: int, K: int, d: int, exact: bool,
-                      z_ref, c_norm_ref, c_sq_ref,
-                      c_hi_ref, c_mid_ref, c_lo_ref,
-                      idx_ref, zq_ref):
-    # per-subspace results are stored immediately so each iteration's
-    # (TILE_N, K) intermediates die before the next (scoped-VMEM budget
-    # on v5e).  The codeword gather is a one-hot matmul against a 3-way
-    # bf16 split of the codebook (hi/mid/lo), three DEFAULT-precision
-    # passes: selection sums are exact per pass and the recombined f32
-    # value is within 1 ulp of the source codeword — XLA's
-    # take_along_axis alternative measures 25 ms for this shape, and an
-    # in-kernel HIGHEST matmul costs a 6-pass emulation.
-    for m in range(M):                             # static unroll over subspaces
-        zm = z_ref[:, m * d:(m + 1) * d]           # (TILE_N, d)
-        z_sq = jnp.sum(zm * zm, axis=-1, keepdims=True)
-        cross = jax.lax.dot_general(
-            zm, c_norm_ref[m],                     # (d, K)
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            # HIGHEST = full-f32 distances -> bit-identical argmin vs the
-            # torch reference (north star); exact=False trades ties at
-            # bf16 precision for ~3x faster distance passes
-            precision=(jax.lax.Precision.HIGHEST if exact
-                       else jax.lax.Precision.DEFAULT),
-        )                                          # (TILE_N, K)
-        dist = z_sq + c_sq_ref[m][None, :] - 2.0 * cross
-        idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)   # first-min ties
-        idx_ref[:, m] = idx
-        one_hot = (jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-                   == idx[:, None]).astype(jnp.bfloat16)
+def _seg_dot(x, s, precision=jax.lax.Precision.HIGHEST):
+    """(tile, A) @ (A, B) in f32."""
+    return jax.lax.dot_general(
+        x, s, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+
+def _pq_kernel(K: int, d: int, G: int, exact: bool, mode: str,
+               want_zq: bool, *refs):
+    if mode == "z_trainable":
+        (z_ref, cbd_ref, c_sq_ref, c_hi_ref, c_mid_ref, c_lo_ref,
+         seg_ref, segT_ref, zm_ref, zs_ref) = refs[:10]
+        out_refs = refs[10:]
+    else:
+        (z_ref, cbd_ref, c_sq_ref, c_hi_ref, c_mid_ref, c_lo_ref,
+         seg_ref, segT_ref) = refs[:8]
+        zm_ref = zs_ref = None
+        out_refs = refs[8:]
+    if want_zq:
+        idx_ref, zn_ref, zq_ref = out_refs
+    else:
+        idx_ref, zn_ref = out_refs
+        zq_ref = None
+
+    z = z_ref[...]                                     # (TILE_N, G*d) f32
+    seg = seg_ref[...]                                 # (G*d, G) 0/1
+    segT = segT_ref[...]                               # (G, G*d) 0/1
+
+    # 1) per-subspace normalization via segment matmuls
+    #    (formulae match ops.quantizer.normalize_vectors exactly)
+    if mode == "none":
+        zn = z
+    elif mode == "l2":
+        ss = _seg_dot(z * z, seg)                      # (TILE_N, G)
+        denom = jnp.maximum(jnp.sqrt(ss), 1e-12)
+        zn = z / _seg_dot(denom, segT)
+    elif mode == "z_norm":
+        mu = _seg_dot(z, seg) / d                      # (TILE_N, G)
+        xc = z - _seg_dot(mu, segT)
+        var = _seg_dot(xc * xc, seg) / max(d - 1, 1)
+        zn = xc / (_seg_dot(jnp.sqrt(var), segT) + 1e-5)
+    elif mode == "z_trainable":
+        zn = (z - zm_ref[0]) / (zs_ref[0] + 1e-5)      # (1, G*d) rows broadcast
+    else:
+        raise ValueError(f"Unsupported normalize mode {mode}")
+    zn_ref[...] = zn
+
+    # 2) block-diagonal cross terms: one (TILE_N, G*d) @ (G*d, G*K) dot
+    #    covers all G subspaces at full MXU contraction depth; the zero
+    #    off-diagonal blocks add exact fp zeros, so each subspace's sum
+    #    is bit-identical to its standalone d-deep dot.
+    #    exact: f32 operands + HIGHEST -> full-f32 distances ->
+    #    bit-identical argmin vs the torch fp32 reference (north star).
+    #    fast: cast to bf16 BEFORE the dot (the codebook arrives bf16) —
+    #    a true single MXU pass with f32 accumulation, the same
+    #    arithmetic the reference runs under fp16 autocast (train.py:80).
+    #    An f32-operand dot is never single-pass on the MXU regardless
+    #    of the precision flag, so the cast is what buys the speed.
+    cross = jax.lax.dot_general(
+        zn if exact else zn.astype(jnp.bfloat16), cbd_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if exact
+                   else jax.lax.Precision.DEFAULT),
+    )                                                  # (TILE_N, G*K) f32
+
+    # 3) per-subspace first-min argmin; z^2 is row-constant per subspace
+    #    and cannot change the argmin, so distances reduce to c^2 - 2zc
+    score = c_sq_ref[0] - 2.0 * cross                  # (TILE_N, G*K)
+    idxs = []
+    for j in range(G):
+        sl = score[:, j * K:(j + 1) * K]
+        idxs.append(jnp.argmin(sl, axis=-1).astype(jnp.int32))
+        idx_ref[0, :, j] = idxs[j]
+
+    # 4) grouped one-hot gather: (TILE_N, G*K) @ (G*K, G*d) block-diagonal
+    #    raw codebook, 3 bf16 split passes -> exact f32 codewords
+    if want_zq:
+        col = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+        oh = None
+        for j in range(G):
+            hit = (col == (idxs[j][:, None] + j * K))
+            oh = hit if oh is None else jnp.logical_or(oh, hit)
+        oh = oh.astype(jnp.bfloat16)
+        # exact: 3 bf16 passes recombine the f32 codeword bit-for-bit;
+        # fast: hi+mid is already within ~1e-7 relative of f32
+        parts = (c_hi_ref, c_mid_ref, c_lo_ref) if exact \
+            else (c_hi_ref, c_mid_ref)
         zq = None
-        for part_ref in (c_hi_ref, c_mid_ref, c_lo_ref):
+        for part_ref in parts:
             term = jax.lax.dot_general(
-                one_hot, part_ref[m],              # contract K with (d, K).1
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                oh, part_ref[0],                       # (G*K, G*d)
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             zq = term if zq is None else zq + term
-        zq_ref[:, m * d:(m + 1) * d] = zq
+        zq_ref[...] = zq
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "exact"))
-def pq_assign_pallas(
-    z_norm: jnp.ndarray,       # (n, M, d) f32, already normalized
-    c_norm: jnp.ndarray,       # (M, K, d) f32, normalized codebook
-    c_raw: jnp.ndarray,        # (M, K, d) f32, raw codebook (gather source)
-    tile_n: int = 256,
-    exact: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (indices (n, M) int32, z_q (n, M, d) f32 raw codewords)."""
-    n, M, d = z_norm.shape
-    K = c_norm.shape[1]
-    pad = (-n) % tile_n
-    z2 = jnp.pad(z_norm.reshape(n, M * d).astype(jnp.float32),
-                 ((0, pad), (0, 0)))
-    n_pad = n + pad
-
-    c_norm_t = jnp.transpose(c_norm.astype(jnp.float32), (0, 2, 1))  # (M, d, K)
-    c_raw_t = jnp.transpose(c_raw.astype(jnp.float32), (0, 2, 1))    # (M, d, K)
+def _bf16_trunc(x):
     # 3-way bf16 split via integer masking: a plain astype round-trip is
     # elided by XLA under --xla_allow_excess_precision, collapsing the
     # split; masking the low 16 bits yields the exactly-bf16-representable
     # truncation that the compiler cannot optimize away
-    def _bf16_trunc(x):
-        bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
-        return jax.lax.bitcast_convert_type(
-            bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32)
 
-    hi_f = _bf16_trunc(c_raw_t)
-    r1 = c_raw_t - hi_f
+
+def _block_diag(c: jnp.ndarray) -> jnp.ndarray:
+    """(n_groups, G, A, B) -> (n_groups, G*A, G*B) block-diagonal."""
+    n_groups, G, A, B = c.shape
+    eye = jnp.eye(G, dtype=c.dtype)
+    out = jnp.einsum("gjab,ji->gjaib", c, eye)
+    return out.reshape(n_groups, G * A, G * B)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("normalize", "tile_n", "exact", "want_zq"))
+def pq_assign_pallas(
+    z: jnp.ndarray,            # (n, M, d) f32 — raw, or pre-normalized
+    c_norm: jnp.ndarray,       # (M, K, d) f32, normalized codebook
+    c_raw: jnp.ndarray,        # (M, K, d) f32, raw codebook (gather source)
+    *,
+    normalize: str = "none",   # none | l2 | z_norm | z_trainable (applied to z)
+    z_mean: Optional[jnp.ndarray] = None,   # (M, d), z_trainable only
+    z_std: Optional[jnp.ndarray] = None,    # (M, d), z_trainable only
+    tile_n: int = 512,
+    exact: bool = True,
+    want_zq: bool = True,
+):
+    """Fused normalize + assign + gather.
+
+    Returns ``(indices (n, M) int32, z_norm (n, M, d) f32[, z_q (n, M, d)
+    f32 raw codewords — when want_zq])``.  With ``normalize='none'`` the
+    z_norm output is a copy of the input.
+    """
+    n, M, d = z.shape
+    K = c_norm.shape[1]
+    G = max(1, min(M, 128 // d))   # subspaces per block-diagonal dot
+    while M % G:
+        G -= 1
+    n_groups = M // G
+    pad = (-n) % tile_n
+    z2 = jnp.pad(z.reshape(n, M * d).astype(jnp.float32), ((0, pad), (0, 0)))
+    n_pad = n + pad
+
+    # (n_groups, G*d, G*K) block-diagonal normalized codebook (cross
+    # term); bf16 in fast mode so the in-kernel dot is a single MXU pass
+    cg = jnp.transpose(c_norm.astype(jnp.float32), (0, 2, 1))  # (M, d, K)
+    cbd = _block_diag(cg.reshape(n_groups, G, d, K))
+    if not exact:
+        cbd = cbd.astype(jnp.bfloat16)
+
+    # (n_groups, G*K, G*d) block-diagonal raw codebook, 3-way bf16 split
+    c_raw_g = c_raw.astype(jnp.float32).reshape(n_groups, G, K, d)
+    hi_f = _bf16_trunc(c_raw_g)
+    r1 = c_raw_g - hi_f
     mid_f = _bf16_trunc(r1)
     lo_f = _bf16_trunc(r1 - mid_f)
-    c_hi = hi_f.astype(jnp.bfloat16)
-    c_mid = mid_f.astype(jnp.bfloat16)
-    c_lo = lo_f.astype(jnp.bfloat16)
-    c_sq = jnp.sum(c_norm.astype(jnp.float32) ** 2, axis=-1)         # (M, K)
+    c_hi = _block_diag(hi_f.astype(jnp.bfloat16))
+    c_mid = _block_diag(mid_f.astype(jnp.bfloat16))
+    c_lo = _block_diag(lo_f.astype(jnp.bfloat16))
 
-    grid = (n_pad // tile_n,)
+    c_sq = jnp.sum(c_norm.astype(jnp.float32) ** 2, axis=-1)   # (M, K)
+    # leading singleton: Mosaic requires the last two block dims to be
+    # (8, 128)-divisible or span the full dimension; (1, 1, G*K) blocks
+    # of an (n_groups, 1, G*K) array satisfy that where (1, G*K) blocks
+    # of (n_groups, G*K) do not
+    c_sq_g = c_sq.reshape(n_groups, 1, G * K)
+
+    # 0/1 segment matrices for the in-kernel per-subspace reductions
+    lanes = jnp.arange(G * d) // d
+    seg = (lanes[:, None] == jnp.arange(G)[None, :]).astype(jnp.float32)
+    segT = seg.T
+
+    # grid is (group, n-tile): the n-tile axis is innermost, so each
+    # group's codebook blocks (~2.6 MB) stay VMEM-resident across the
+    # whole n sweep instead of being re-fetched per tile (group-inner
+    # order re-reads ~2 GB of codebook for the bench shape)
+    inputs = [z2, cbd, c_sq_g, c_hi, c_mid, c_lo, seg, segT]
+    in_specs = [
+        pl.BlockSpec((tile_n, G * d), lambda g, i: (i, g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G * d, G * K), lambda g, i: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, G * K), lambda g, i: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G * K, G * d), lambda g, i: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G * K, G * d), lambda g, i: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G * K, G * d), lambda g, i: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G * d, G), lambda g, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, G * d), lambda g, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if normalize == "z_trainable":
+        if z_mean is None or z_std is None:
+            raise ValueError("z_trainable requires z_mean and z_std")
+        zm_row = z_mean.astype(jnp.float32).reshape(n_groups, 1, G * d)
+        zs_row = z_std.astype(jnp.float32).reshape(n_groups, 1, G * d)
+        inputs += [zm_row, zs_row]
+        in_specs += [
+            pl.BlockSpec((1, 1, G * d), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G * d), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    out_specs = [
+        # idx lives group-major: (n_groups, n_pad, G) with (1, tile_n, G)
+        # blocks — the last dim spans the full G, satisfying Mosaic's
+        # block-divisibility rule where an (n_pad, M)/(tile_n, G) layout
+        # would not; transposed back to (n, M) outside (12.8 MB, ~0 cost)
+        pl.BlockSpec((1, tile_n, G), lambda g, i: (g, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, G * d), lambda g, i: (i, g),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_groups, n_pad, G), jnp.int32),
+        jax.ShapeDtypeStruct((n_pad, M * d), jnp.float32),
+    ]
+    if want_zq:
+        out_specs.append(pl.BlockSpec((tile_n, G * d), lambda g, i: (i, g),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n_pad, M * d), jnp.float32))
+
+    grid = (n_groups, n_pad // tile_n)
     interpret = jax.default_backend() != "tpu"   # CPU tests run interpreted
-    idx, zq = pl.pallas_call(
-        functools.partial(_pq_assign_kernel, M, K, d, exact),
+    flops_cross = 2 * n_pad * n_groups * (G * d) * (G * K)
+    out = pl.pallas_call(
+        functools.partial(_pq_kernel, K, d, G, exact, normalize, want_zq),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_n, M * d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, d, K), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, K), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, d, K), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, d, K), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, d, K), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tile_n, M), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, M * d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, M), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, M * d), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * M * K * d * 2,
-            bytes_accessed=n_pad * M * d * 4 * 2 + M * K * d * 8,
+            flops=(6 if exact else 1) * flops_cross
+            + (3 * flops_cross if want_zq else 0),
+            bytes_accessed=n_pad * M * d * 4 * (3 if want_zq else 2)
+            + n_groups * (G * d) * (G * K) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(z2, c_norm_t, c_sq, c_hi, c_mid, c_lo)
-    return idx[:n], zq[:n].reshape(n, M, d)
+    )(*inputs)
+    def _idx_nm(idx_g):
+        # (n_groups, n_pad, G) group-major -> (n, M)
+        return jnp.transpose(idx_g, (1, 0, 2)).reshape(n_pad, M)[:n]
+
+    if want_zq:
+        idx, zn, zq = out
+        return _idx_nm(idx), zn[:n].reshape(n, M, d), zq[:n].reshape(n, M, d)
+    idx, zn = out
+    return _idx_nm(idx), zn[:n].reshape(n, M, d)

@@ -57,11 +57,20 @@ class PQConfig:
     eps: float = 1.0e-5              # Laplace smoothing eps
     jsd_ts: float = 1.0              # softmax temperature for distance prob
     # optional fused Pallas assignment kernel (ops/pq_pallas.py). On v5e
-    # the XLA path fused in-graph currently measures faster (14 vs 27 ms
-    # per 64x224^2 batch) because the HIGHEST-precision distance dot costs
-    # a 6-pass bf16 emulation either way and XLA pipelines it better, so
-    # the kernel is opt-in.
+    # the in-graph XLA path currently measures faster for the bench shape
+    # (14 vs 18 ms per 64x224^2 batch; see the kernel module docstring
+    # for the breakdown), so the kernel is opt-in; it is the right
+    # choice when the (n, M, K) distance tensor would not fit in HBM
+    # (val-res 320^2 large batches).
     use_pallas: bool = False
+    # distance arithmetic for the kernel path: "exact" = f32 HIGHEST
+    # distances, bit-identical argmin vs the torch fp32 reference;
+    # "bf16" = one-pass MXU distances with f32 accumulation — the same
+    # arithmetic the reference's production fp16 autocast runs
+    # (train.py:80); flips ~0.4% of assignments on random data (99.6%
+    # agreement measured on-chip), within the reference's own
+    # fp32-vs-autocast variation
+    assign_precision: str = "exact"
 
     def __post_init__(self):
         if self.embed_dim % self.num_pq != 0:
@@ -299,16 +308,15 @@ def pq_forward(
 
     codebook = params["codebook"] if cfg.vq_type == "param" else state["ema_weight"]
 
-    # ---- normalization (dino_pqgo.py:369-390) ----
+    # ---- codebook normalization (dino_pqgo.py:369-390) ----
+    z_mean = z_std = None
     if cfg.normalize == "z_trainable":
-        z_mean = params["z_mean"][None]                     # (1, M, d)
-        z_std = jnp.sqrt(jnp.exp(params["z_log_var"]))[None]
-        z_norm = (zf - z_mean) / (z_std + 1e-5)
+        z_mean = params["z_mean"]                           # (M, d)
+        z_std = jnp.sqrt(jnp.exp(params["z_log_var"]))
         c_mean = jnp.mean(codebook, axis=1, keepdims=True)  # over K, per dim
         c_var = jnp.sum((codebook - c_mean) ** 2, axis=1, keepdims=True) / max(K - 1, 1)
         codebook_norm = (codebook - c_mean) / (jnp.sqrt(c_var) + 1e-5)
     else:
-        z_norm = normalize_vectors(zf, cfg.normalize)
         codebook_norm = normalize_vectors(codebook, cfg.normalize)
 
     if want_prob is None:
@@ -318,7 +326,10 @@ def pq_forward(
 
     # ---- fused Pallas path (inference assignment) ----
     # eligible when nothing needs the dense distance tensor: the kernel
-    # fuses distance + argmin + codeword gather in VMEM (ops/pq_pallas.py)
+    # fuses normalize + distance + argmin + codeword gather in VMEM
+    # (ops/pq_pallas.py); loss/straight-through math then runs on the
+    # kernel's FLAT (n, D) outputs — the (n, M, d) layout XLA would pick
+    # for them pads d=16 to 128 lanes and costs ~8x the HBM traffic.
     use_pallas = (
         cfg.use_pallas
         and not training
@@ -332,20 +343,32 @@ def pq_forward(
     if use_pallas:
         from equss_tpu.ops.pq_pallas import pq_assign_pallas
 
-        indices, z_q = pq_assign_pallas(z_norm, codebook_norm, codebook)
+        indices, zn_m, zq_m = pq_assign_pallas(
+            zf, codebook_norm, codebook,
+            normalize=cfg.normalize, z_mean=z_mean, z_std=z_std,
+            exact=(cfg.assign_precision != "bf16"),
+        )
+        zn_flat = zn_m.reshape(n, M * d)
+        zq_flat = zq_m.reshape(n, M * d)
         aux: Dict[str, Any] = {}
         sg = jax.lax.stop_gradient
-        commitment = jnp.mean((z_norm - sg(z_q)) ** 2)
+        commitment = jnp.mean((zn_flat - sg(zq_flat)) ** 2)
         if cfg.vq_type == "param":
-            codebook_loss = jnp.mean((z_q - sg(z_norm)) ** 2)
+            codebook_loss = jnp.mean((zq_flat - sg(zn_flat)) ** 2)
             aux["vq-loss"] = cfg.book * codebook_loss + cfg.beta * commitment
         else:
             aux["vq-loss"] = cfg.beta * commitment
-        z_q = z_norm + sg(z_q - z_norm)
+        z_q = zn_flat + sg(zq_flat - zn_flat)
         aux["codebook-sum"] = jnp.sum(jnp.abs(codebook)) / M
         z_q = z_q.reshape(*lead_shape, M * d)
         indices = indices.reshape(*lead_shape, M)
         return z_q, indices, aux, dict(state)
+
+    # ---- z normalization, XLA path (dino_pqgo.py:369-390) ----
+    if cfg.normalize == "z_trainable":
+        z_norm = (zf - z_mean[None]) / (z_std[None] + 1e-5)
+    else:
+        z_norm = normalize_vectors(zf, cfg.normalize)
 
     # ---- distances + assignment ----
     dist = pairwise_sqdist(z_norm, codebook_norm)           # (n, M, K) fp32

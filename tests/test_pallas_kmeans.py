@@ -16,15 +16,56 @@ def test_pq_assign_pallas_matches_xla():
     zn = normalize_vectors(z, "l2")
     cn = normalize_vectors(cb, "l2")
 
-    idx_p, zq_p = pq_assign_pallas(zn, cn, cb, tile_n=256)
+    idx_p, zn_p, zq_p = pq_assign_pallas(zn, cn, cb, tile_n=256)
 
     dist = pairwise_sqdist(zn, cn)
     idx_x = jnp.argmin(dist, -1).astype(jnp.int32)
     zq_x = _gather_codewords(cb, idx_x)
 
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+    np.testing.assert_allclose(np.asarray(zn_p), np.asarray(zn),
+                               rtol=0, atol=0)   # normalize='none' copies
     np.testing.assert_allclose(np.asarray(zq_p), np.asarray(zq_x),
                                rtol=0, atol=0)   # exact 3-way bf16 gather
+
+
+def test_pq_assign_pallas_in_kernel_normalize():
+    n, M, K, d = 300, 8, 128, 16
+    z = 3.0 * jax.random.normal(jax.random.PRNGKey(3), (n, M, d))
+    cb = jax.random.normal(jax.random.PRNGKey(4), (M, K, d))
+
+    for mode in ("l2", "z_norm"):
+        zn = normalize_vectors(z, mode)
+        cn = normalize_vectors(cb, mode)
+        idx_p, zn_p, zq_p = pq_assign_pallas(z, cn, cb, normalize=mode)
+        idx_x = jnp.argmin(pairwise_sqdist(zn, cn), -1).astype(jnp.int32)
+        np.testing.assert_allclose(np.asarray(zn_p), np.asarray(zn),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+
+    # z_trainable: stats supplied by the caller
+    z_mean = 0.1 * jax.random.normal(jax.random.PRNGKey(5), (M, d))
+    z_std = jnp.exp(0.1 * jax.random.normal(jax.random.PRNGKey(6), (M, d)))
+    zn = (z - z_mean[None]) / (z_std[None] + 1e-5)
+    c_mean = jnp.mean(cb, axis=1, keepdims=True)
+    c_var = jnp.sum((cb - c_mean) ** 2, axis=1, keepdims=True) / (K - 1)
+    cn = (cb - c_mean) / (jnp.sqrt(c_var) + 1e-5)
+    idx_p, zn_p, _ = pq_assign_pallas(z, cn, cb, normalize="z_trainable",
+                                      z_mean=z_mean, z_std=z_std)
+    idx_x = jnp.argmin(pairwise_sqdist(zn, cn), -1).astype(jnp.int32)
+    np.testing.assert_allclose(np.asarray(zn_p), np.asarray(zn),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+
+
+def test_pq_assign_pallas_no_zq():
+    n, M, K, d = 128, 4, 128, 8
+    z = jax.random.normal(jax.random.PRNGKey(7), (n, M, d))
+    cb = jax.random.normal(jax.random.PRNGKey(8), (M, K, d))
+    out = pq_assign_pallas(z, cb, cb, want_zq=False)
+    assert len(out) == 2
+    idx_x = jnp.argmin(pairwise_sqdist(z, cb), -1).astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(idx_x))
 
 
 def test_pq_forward_pallas_flag_matches():
