@@ -46,13 +46,14 @@ class ViTConfig:
     # under fp16 autocast (train.py:80), so bf16 here is comparable
     # numerics; leave False for strict-f32 parity runs.
     attn_bf16: bool = False
-    # fused Pallas attention (ops/attention.py): probabilities never hit
-    # HBM; active in attn_bf16 mode when attention maps aren't requested
-    # and the sequence is long enough to win (at 785 tokens XLA's fused
-    # softmax chain is on par; at 1601 the kernel measures +13% end to
-    # end on v5e — the quadratic HBM saving grows with N).
+    # fused Pallas attention (ops/attention.fused_attention_qkv):
+    # probabilities never hit HBM and the kernel reads the qkv Dense
+    # output in place (no (B, N, 3, H, hd) transposes). Active in
+    # attn_bf16 mode when attention maps aren't requested. Measured on
+    # v5e: 79 -> 56 ms for the 64x224^2 bench forward (+40% img/s) at
+    # 785 tokens; also ahead at 1601 (320^2 val res).
     fused_attn: bool = True
-    fused_attn_min_n: int = 1024
+    fused_attn_min_n: int = 512
 
     @property
     def head_dim(self) -> int:
@@ -88,24 +89,29 @@ class Attention(nn.Module):
                  want_attn: bool = False) -> Tuple[jnp.ndarray, Any]:
         cfg = self.cfg
         B, N, C = x.shape
-        qkv = nn.Dense(3 * C, use_bias=cfg.qkv_bias, dtype=cfg.dtype,
-                       name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, cfg.num_heads, cfg.head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]     # (B, N, H, hd)
+        qkv_flat = nn.Dense(3 * C, use_bias=cfg.qkv_bias, dtype=cfg.dtype,
+                            name="qkv")(x)                     # (B, N, 3C)
         scale = cfg.head_dim ** -0.5
         if (cfg.fused_attn and not want_attn and N >= cfg.fused_attn_min_n
                 and cfg.attn_bf16 and cfg.dtype == jnp.bfloat16):
-            from equss_tpu.ops.attention import fused_attention
+            from equss_tpu.ops.attention import fused_attention_qkv
 
-            out = fused_attention(q, k, v, scale=scale)        # (B, N, H, hd)
-            attn = None
-        else:
-            acc_t = cfg.dtype if (cfg.attn_bf16 and cfg.dtype == jnp.bfloat16) \
-                else jnp.float32
-            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                              preferred_element_type=acc_t) * scale
-            attn = jax.nn.softmax(attn, axis=-1)
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(cfg.dtype), v)
+            # transpose-free kernel: consumes the Dense output directly
+            # and returns (B, N, C); the (B, N, 3, H, hd) reshape path
+            # below costs ~as much in layout copies as the attention
+            # math itself at 785 tokens (profiled)
+            out = fused_attention_qkv(qkv_flat, num_heads=cfg.num_heads,
+                                      scale=scale)
+            out = nn.Dense(C, dtype=cfg.dtype, name="proj")(out)
+            return out, None
+        qkv = qkv_flat.reshape(B, N, 3, cfg.num_heads, cfg.head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]     # (B, N, H, hd)
+        acc_t = cfg.dtype if (cfg.attn_bf16 and cfg.dtype == jnp.bfloat16) \
+            else jnp.float32
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                          preferred_element_type=acc_t) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(cfg.dtype), v)
         out = out.reshape(B, N, C).astype(cfg.dtype)
         out = nn.Dense(C, dtype=cfg.dtype, name="proj")(out)
         return out, attn

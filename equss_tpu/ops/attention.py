@@ -108,3 +108,93 @@ def fused_attention(
     )(qf, kf, vf)
     out = out[:, :N].reshape(B, H, N, hd)
     return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def _attn_qkv_kernel(H: int, C: int, hd: int, scale: float, n_real: int,
+                     q_ref, kv_ref, o_ref):
+    qt = q_ref[0]                                  # (bq, 3C) bf16
+    kv = kv_ref[0]                                 # (npad, 3C) bf16
+    for h in range(H):
+        q = qt[:, h * hd:(h + 1) * hd]             # (bq, hd)
+        k = kv[:, C + h * hd:C + (h + 1) * hd]
+        v = kv[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                  # (npad, npad) f32
+        if n_real != logits.shape[-1]:
+            mask = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) < n_real
+            logits = jnp.where(mask, logits, -1e30)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, h * hd:(h + 1) * hd] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
+def fused_attention_qkv(
+    qkv: jnp.ndarray,          # (B, N, 3C), channel layout [3][H][hd]
+    *,
+    num_heads: int,
+    scale: float,
+) -> jnp.ndarray:
+    """Multi-head softmax attention straight off the qkv projection.
+
+    Takes the qkv Dense output in its native (B, N, 3C) layout — the
+    channel axis is [q|k|v] x [head] x [head_dim], exactly
+    ``reshape(B, N, 3, H, hd)`` order — loops heads IN-KERNEL with
+    64-lane column slices, and writes (B, N, C) ready for the proj
+    matmul.  Compared to `fused_attention` this removes every
+    (B, N, H, hd) <-> (B*H, N, hd) transpose/pad pass around the kernel:
+    profiling the 224^2 bench forward showed those layout copies cost
+    as much as the attention math itself, wiping out the kernel's win
+    at 785 tokens.  One program per batch element; the whole sequence's
+    qkv block (~2 MB at N=896, ~4 MB at N=1664, bf16) plus one
+    (npad, npad) f32 logit buffer live in VMEM; probabilities never
+    reach HBM.  Numerics match `fused_attention`: f32 logits + softmax
+    (strictly tighter than the XLA attn_bf16 path), bf16 probability
+    matmul.
+    """
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // num_heads
+    # q rows are tiled so the scoped-VMEM footprint stays bounded at long
+    # sequences (a whole-sequence (npad, npad) f32 logit block at 1664
+    # tokens is 11 MB and blows the 16 MB scoped limit together with the
+    # qkv block); k/v stay whole-sequence resident, so the i-inner grid
+    # fetches them once per batch element.
+    bq = ((N + 127) // 128) * 128
+    if bq > 1024:
+        bq = 512
+    npad = ((N + bq - 1) // bq) * bq
+    qkv_p = jnp.pad(qkv, ((0, 0), (0, npad - N), (0, 0)))
+    interpret = jax.default_backend() != "tpu"    # CPU tests run interpreted
+    out = pl.pallas_call(
+        functools.partial(_attn_qkv_kernel, num_heads, C, hd, scale, N),
+        grid=(B, npad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, C3), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, C3), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, npad, C), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * npad * npad * hd,
+            bytes_accessed=B * npad * (C3 + C) * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * npad * npad,
+        ),
+        # the default 16 MB scoped-VMEM budget counts the double-buffered
+        # whole-sequence k/v block twice; 32 MB keeps the single-fetch
+        # layout viable up to the 320^2 val resolution (npad 2048)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(qkv_p, qkv_p)
+    return out[:, :N]

@@ -159,13 +159,30 @@ def normalize_vectors(x: jnp.ndarray, mode: str, axis: int = -1) -> jnp.ndarray:
     raise ValueError(f"Unsupported normalize mode {mode}")
 
 
-def pairwise_sqdist(z: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+def pairwise_sqdist(z: jnp.ndarray, codebook: jnp.ndarray,
+                    precision: str = "exact") -> jnp.ndarray:
     """Squared L2 distances for every subspace at once.
 
-    z: (n, M, d), codebook: (M, K, d) -> (n, M, K), fp32 accumulation.
+    z: (n, M, d), codebook: (M, K, d) -> (n, M, K).
     Identity x^2 + c^2 - 2 x.c, same formulation as dino_pqgo.py:397-399
     (required for bit-exact parity with the reference's argmin).
+
+    precision="exact": f32 operands on the MXU in full-f32 (multi-pass)
+    mode, f32 output — bit-identical distances/argmin vs the torch fp32
+    reference.  "bf16": bf16 operands with f32 accumulation (the
+    reference's fp16-autocast arithmetic, train.py:80) and a bf16
+    result tensor — halves the dominant HBM cost of the (n, M, K)
+    round trip and skips the 6-pass f32 emulation.
     """
+    if precision == "bf16":
+        zb = z.astype(jnp.bfloat16)
+        cb = codebook.astype(jnp.bfloat16)
+        z_sq = jnp.sum(zb * zb, axis=-1,
+                       dtype=jnp.float32)[:, :, None]         # (n, M, 1)
+        c_sq = jnp.sum(cb * cb, axis=-1, dtype=jnp.float32)[None]
+        cross = jnp.einsum("nmd,mkd->nmk", zb, cb,
+                           preferred_element_type=jnp.float32)
+        return (z_sq + c_sq - 2.0 * cross).astype(jnp.bfloat16)
     z = z.astype(jnp.float32)
     codebook = codebook.astype(jnp.float32)
     z_sq = jnp.sum(z * z, axis=-1)[:, :, None]            # (n, M, 1)
@@ -371,7 +388,8 @@ def pq_forward(
         z_norm = normalize_vectors(zf, cfg.normalize)
 
     # ---- distances + assignment ----
-    dist = pairwise_sqdist(z_norm, codebook_norm)           # (n, M, K) fp32
+    dist = pairwise_sqdist(z_norm, codebook_norm,
+                           precision=cfg.assign_precision)  # (n, M, K)
 
     if cfg.pq_dropout > 0.0 and training:
         # deviation (documented): the reference physically removes masked
@@ -390,7 +408,7 @@ def pq_forward(
     indices = jnp.argmin(dist, axis=-1).astype(jnp.int32)   # (n, M); first-min ties
     # the (n, M, K) softmax is pure HBM traffic when nothing consumes it
     # (inference / param-type training): compute only on demand
-    distance_prob = (jax.nn.softmax(-dist / cfg.jsd_ts, axis=-1)
+    distance_prob = (jax.nn.softmax(-dist.astype(jnp.float32) / cfg.jsd_ts, axis=-1)
                      if want_prob_eff else None)
 
     if cfg.use_gumbel and training:
@@ -404,7 +422,7 @@ def pq_forward(
         z_q = _gather_codewords(codebook, indices)
     elif cfg.use_weighted_sum:
         if distance_prob is None:
-            distance_prob = jax.nn.softmax(-dist / cfg.jsd_ts, axis=-1)
+            distance_prob = jax.nn.softmax(-dist.astype(jnp.float32) / cfg.jsd_ts, axis=-1)
         z_q = jnp.einsum(
             "nmk,mkd->nmd", distance_prob, codebook_norm,
             preferred_element_type=jnp.float32,

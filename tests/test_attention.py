@@ -48,3 +48,27 @@ def test_vit_fused_attention_agrees_at_long_seq():
     a = np.asarray(vit_x.apply({"params": params}, img)["dense"], np.float32)
     b = np.asarray(vit_f.apply({"params": params}, img)["dense"], np.float32)
     np.testing.assert_allclose(a, b, atol=5e-2)
+
+
+@pytest.mark.parametrize("shape", [(2, 785, 6, 64), (1, 1601, 2, 64),
+                                   (1, 5, 2, 64)])
+def test_fused_attention_qkv_matches_xla(shape):
+    from equss_tpu.ops.attention import fused_attention_qkv
+
+    B, N, H, hd = shape
+    C = H * hd
+    rng = np.random.RandomState(1)
+    qkv_flat = jnp.asarray(rng.randn(B, N, 3 * C), jnp.bfloat16)
+    scale = hd ** -0.5
+    out = np.asarray(
+        fused_attention_qkv(qkv_flat, num_heads=H, scale=scale), np.float32)
+    qkv = qkv_flat.reshape(B, N, 3, H, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    attn = jax.nn.softmax(
+        jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale, -1)
+    ref = np.asarray(
+        jnp.einsum("bhnm,bmhd->bnhd", attn.astype(jnp.bfloat16), v),
+        np.float32).reshape(B, N, C)
+    assert not np.isnan(out).any()
+    np.testing.assert_allclose(out, ref, atol=3e-3)

@@ -279,3 +279,21 @@ def test_pq_dropout_masks_codes():
     used = set(np.asarray(idx).reshape(-1).tolist())
     # with 90% of the codebook masked, few distinct codes can win
     assert len(used) <= 16
+
+
+def test_bf16_assign_precision_close_to_exact():
+    # "bf16" distance arithmetic (the reference's fp16-autocast analogue,
+    # train.py:80) must agree with exact f32 assignment away from ties,
+    # on both the XLA path and the Pallas kernel path.
+    import dataclasses
+
+    cfg = PQConfig(num_pq=8, num_codebook=128, embed_dim=128,
+                   vq_type="param", normalize="l2")
+    params, state = pq_init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, 7, 7, 128))
+    _, idx_e, _, _ = pq_forward(z, params, state, cfg, training=False)
+    for extra in ({}, {"use_pallas": True}):
+        cfg_b = dataclasses.replace(cfg, assign_precision="bf16", **extra)
+        _, idx_b, _, _ = pq_forward(z, params, state, cfg_b, training=False)
+        agree = np.mean(np.asarray(idx_b) == np.asarray(idx_e))
+        assert agree > 0.98, (extra, agree)
