@@ -54,10 +54,24 @@ class ViTConfig:
     # 785 tokens; also ahead at 1601 (320^2 val res).
     fused_attn: bool = True
     fused_attn_min_n: int = 512
+    # GELU flavor. None = auto: tanh approximation in bf16 mode, exact
+    # erf (torch nn.GELU default, vision_transformer.py:97) for strict
+    # f32 parity. The erf polynomial is VPU-transcendental-bound on TPU
+    # (measured 9.7 ms of the 56 ms 64x224^2 bench forward, +21% img/s
+    # with tanh); the tanh approximation's ~1e-3 activation error is the
+    # same fidelity class as the fp16-erf the torch reference evaluates
+    # under autocast (train.py:80).
+    gelu_tanh: Any = None
 
     @property
     def head_dim(self) -> int:
         return self.embed_dim // self.num_heads
+
+    @property
+    def gelu_approximate(self) -> bool:
+        if self.gelu_tanh is None:
+            return self.dtype == jnp.bfloat16
+        return bool(self.gelu_tanh)
 
 
 VIT_PRESETS = {
@@ -125,7 +139,9 @@ class Mlp(nn.Module):
         cfg = self.cfg
         hidden = int(cfg.embed_dim * cfg.mlp_ratio)
         x = nn.Dense(hidden, dtype=cfg.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)      # torch nn.GELU is exact erf
+        # torch nn.GELU is exact erf; see ViTConfig.gelu_tanh for when
+        # the tanh approximation is used instead
+        x = nn.gelu(x, approximate=cfg.gelu_approximate)
         x = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name="fc2")(x)
         return x
 

@@ -118,3 +118,29 @@ def test_make_vit_config_presets():
     assert cfg.embed_dim == 384 and cfg.num_heads == 6 and cfg.depth == 12
     cfg = make_vit_config("vit_base", 16)
     assert cfg.embed_dim == 768 and cfg.num_heads == 12
+
+
+def test_gelu_tanh_auto_and_feature_agreement():
+    """bf16 mode auto-selects the tanh GELU; features stay within
+    bf16-class tolerance of the exact-erf path (ViTConfig.gelu_tanh)."""
+    import dataclasses
+
+    import numpy as np
+
+    from equss_tpu.models.vit import VisionTransformer, make_vit_config
+
+    cfg_f32 = make_vit_config("vit_micro", 8)
+    assert not cfg_f32.gelu_approximate        # strict f32 parity -> erf
+    cfg_bf = make_vit_config("vit_micro", 8, dtype=jnp.bfloat16,
+                             attn_bf16=True)
+    assert cfg_bf.gelu_approximate             # bf16 -> tanh
+    cfg_bf_erf = dataclasses.replace(cfg_bf, gelu_tanh=False)
+
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                      jnp.float32)
+    vit_t = VisionTransformer(cfg_bf)
+    vit_e = VisionTransformer(cfg_bf_erf)
+    params = vit_e.init(jax.random.PRNGKey(0), img)["params"]
+    a = np.asarray(vit_e.apply({"params": params}, img)["dense"], np.float32)
+    b = np.asarray(vit_t.apply({"params": params}, img)["dense"], np.float32)
+    np.testing.assert_allclose(a, b, atol=5e-2)
