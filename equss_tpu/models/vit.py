@@ -100,22 +100,27 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
-                 want_attn: bool = False) -> Tuple[jnp.ndarray, Any]:
+                 want_attn: bool = False,
+                 n_real: Optional[int] = None) -> Tuple[jnp.ndarray, Any]:
         cfg = self.cfg
         B, N, C = x.shape
         qkv_flat = nn.Dense(3 * C, use_bias=cfg.qkv_bias, dtype=cfg.dtype,
                             name="qkv")(x)                     # (B, N, 3C)
         scale = cfg.head_dim ** -0.5
         if (cfg.fused_attn and not want_attn and N >= cfg.fused_attn_min_n
-                and cfg.attn_bf16 and cfg.dtype == jnp.bfloat16):
+                and cfg.attn_bf16 and cfg.dtype == jnp.bfloat16) \
+                or (n_real is not None and n_real != N):
             from equss_tpu.ops.attention import fused_attention_qkv
 
             # transpose-free kernel: consumes the Dense output directly
             # and returns (B, N, C); the (B, N, 3, H, hd) reshape path
             # below costs ~as much in layout copies as the attention
-            # math itself at 785 tokens (profiled)
+            # math itself at 785 tokens (profiled).  n_real < N = the
+            # token stream is pre-padded (VisionTransformer pads once
+            # after the pos-embed); the kernel masks the padded keys,
+            # which the einsum path could not.
             out = fused_attention_qkv(qkv_flat, num_heads=cfg.num_heads,
-                                      scale=scale)
+                                      scale=scale, n_real=n_real)
             out = nn.Dense(C, dtype=cfg.dtype, name="proj")(out)
             return out, None
         qkv = qkv_flat.reshape(B, N, 3, cfg.num_heads, cfg.head_dim)
@@ -151,11 +156,12 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
-                 want_attn: bool = False) -> Tuple[jnp.ndarray, Any]:
+                 want_attn: bool = False,
+                 n_real: Optional[int] = None) -> Tuple[jnp.ndarray, Any]:
         cfg = self.cfg
         y, attn = Attention(cfg, name="attn")(
             nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm1")(x),
-            want_attn=want_attn,
+            want_attn=want_attn, n_real=n_real,
         )
         x = x + y
         x = x + Mlp(cfg, name="mlp")(
@@ -225,13 +231,28 @@ class VisionTransformer(nn.Module):
         )
         x = x + self._interpolate_pos_embed(pos_embed, gh, gw).astype(cfg.dtype)
 
+        # pad the token stream to the fused-attention kernel's 128
+        # granularity ONCE, instead of a (B, npad, 3C) pad copy in every
+        # block (12 x 0.4 ms at the 224^2 bench shape).  The pad rows are
+        # inert: LayerNorm/MLP are per-token and the kernel masks padded
+        # keys; rows are sliced away before the dense output.
+        n_tokens = x.shape[1]
+        n_real = None
+        if (cfg.fused_attn and not want_attn and cfg.attn_bf16
+                and cfg.dtype == jnp.bfloat16
+                and n_tokens >= cfg.fused_attn_min_n
+                and n_tokens % 128 != 0):
+            n_real = n_tokens
+            x = jnp.pad(x, ((0, 0), (0, (-n_tokens) % 128), (0, 0)))
+
         final_ln = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm")
         feats: List[jnp.ndarray] = []
         attns: List[jnp.ndarray] = []
         for i in range(cfg.depth):
-            x, attn = Block(cfg, name=f"blocks_{i}")(x, want_attn=want_attn)
+            x, attn = Block(cfg, name=f"blocks_{i}")(x, want_attn=want_attn,
+                                                     n_real=n_real)
             if cfg.depth - i <= n_last:
-                feats.append(final_ln(x))
+                feats.append(final_ln(x[:, :n_tokens]))
                 if want_attn:
                     attns.append(attn)
 

@@ -25,6 +25,7 @@ the einsum path.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -64,14 +65,12 @@ def fused_attention(
 ) -> jnp.ndarray:
     """softmax(q kᵀ · scale) v without materializing the probabilities.
 
-    Layout matches models/vit.Attention: (batch, tokens, heads, head_dim)
-    in and out.  The default block_q covers EQUSS sequence lengths whole
-    (one program per (batch, head): the full logit row block stays in
-    VMEM, ~3 MB at N=1664 — measured 28-36%% faster than XLA's fused
-    attention at 785/1601 tokens on v5e).  N pads to the block; padded
-    keys are masked, padded query rows are sliced away.  Mosaic requires
-    the head-dim (64) to be the full last block dim, hence the
-    (B·H, N, hd) working layout.
+    Layout matches the (batch, tokens, heads, head_dim) convention.
+    Kernel-only it beats the XLA einsum chain, but END TO END the
+    (B, N, H, hd) <-> (B*H, N, hd) transpose/pad passes around it cost
+    as much as the attention math at 785 tokens (profiled) — use
+    `fused_attention_qkv` in model code; this entry point remains for
+    callers that already hold separate q/k/v.
     """
     B, N, H, hd = q.shape
     bq = min(block_q, ((N + 127) // 128) * 128)
@@ -135,12 +134,14 @@ def _attn_qkv_kernel(H: int, C: int, hd: int, scale: float, n_real: int,
         o_ref[0, :, h * hd:(h + 1) * hd] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "scale", "n_real"))
 def fused_attention_qkv(
     qkv: jnp.ndarray,          # (B, N, 3C), channel layout [3][H][hd]
     *,
     num_heads: int,
     scale: float,
+    n_real: Optional[int] = None,
 ) -> jnp.ndarray:
     """Multi-head softmax attention straight off the qkv projection.
 
@@ -162,6 +163,11 @@ def fused_attention_qkv(
     B, N, C3 = qkv.shape
     C = C3 // 3
     hd = C // num_heads
+    # n_real < N means the caller already padded the token stream (the
+    # ViT pads once after the pos-embed so the 12 per-block pad copies
+    # vanish — profiled at 0.4 ms each); keys >= n_real are masked.
+    if n_real is None:
+        n_real = N
     # q rows are tiled so the scoped-VMEM footprint stays bounded at long
     # sequences (a whole-sequence (npad, npad) f32 logit block at 1664
     # tokens is 11 MB and blows the 16 MB scoped limit together with the
@@ -174,7 +180,8 @@ def fused_attention_qkv(
     qkv_p = jnp.pad(qkv, ((0, 0), (0, npad - N), (0, 0)))
     interpret = jax.default_backend() != "tpu"    # CPU tests run interpreted
     out = pl.pallas_call(
-        functools.partial(_attn_qkv_kernel, num_heads, C, hd, scale, N),
+        functools.partial(_attn_qkv_kernel, num_heads, C, hd, scale,
+                          n_real),
         grid=(B, npad // bq),
         in_specs=[
             pl.BlockSpec((1, bq, C3), lambda b, i: (b, i, 0),
