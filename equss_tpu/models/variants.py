@@ -182,6 +182,7 @@ class UnSegModel(_BackboneMixin):
             PQConfig(
                 num_pq=num_pq[i], num_codebook=vq["num_codebooks"][i],
                 embed_dim=self.embed_dims[i], vq_type=vq.get("vq_type", "param"),
+                assign_precision=vq.get("assign_precision", "exact"),
                 beta=vq.get("beta", 0.25), normalize=vq.get("normalize", "none"),
                 use_restart=vq.get("use_restart", False),
                 use_split=vq.get("use_split", False),
@@ -326,6 +327,7 @@ class NewVQModel(_BackboneMixin):
         self.pq_cfg = PQConfig(
             num_pq=num_pq, num_codebook=vq["num_codebooks"][0],
             embed_dim=self.hidden_dim, vq_type=vq.get("vq_type", "param"),
+                assign_precision=vq.get("assign_precision", "exact"),
             beta=vq.get("beta", 0.25), normalize=vq.get("normalize", "none"),
             use_weighted_sum=vq.get("use_weighted_sum", False),
             use_restart=vq.get("use_restart", False),
@@ -678,6 +680,7 @@ class VAEModel(_BackboneMixin):
             PQConfig(num_pq=1, num_codebook=vq["num_codebooks"][i],
                      embed_dim=self.embed_dims[i],
                      vq_type=vq.get("vq_type", "param"),
+                assign_precision=vq.get("assign_precision", "exact"),
                      beta=vq.get("beta", 0.25),
                      normalize=vq.get("normalize", "none"))
             for i in range(2)
@@ -974,6 +977,7 @@ class InfoModel(_BackboneMixin):
                 num_pq=1, num_codebook=vq["num_codebooks"][i],
                 embed_dim=self.embed_dims[i],
                 vq_type=vq.get("vq_type", "param"),
+                assign_precision=vq.get("assign_precision", "exact"),
                 beta=vq.get("beta", 0.25), normalize=vq.get("normalize", "none"),
                 use_restart=vq.get("use_restart", False),
                 use_gumbel=vq.get("use_gumbel", False),

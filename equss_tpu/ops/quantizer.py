@@ -427,6 +427,17 @@ def pq_forward(
             "nmk,mkd->nmd", distance_prob, codebook_norm,
             preferred_element_type=jnp.float32,
         )
+    elif cfg.assign_precision == "bf16":
+        # one-hot matmul gather: the dynamic row gather (and, for param
+        # codebooks, its backward scatter) is DMA-bound on TPU —
+        # profiled 4.6 + 5.4 ms of a 64 ms pqgo b=16 train step; as a
+        # (n, M, K) x (M, K, d) einsum both directions ride the MXU.
+        # Codeword values round to bf16 — the same rounding the torch
+        # reference's fp16-autocast production training applies.
+        oh = jax.nn.one_hot(indices, K, dtype=jnp.bfloat16)
+        z_q = jnp.einsum("nmk,mkd->nmd", oh,
+                         codebook.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
     else:
         # raw (unnormalized) codebook gather, as in dino_pqgo.py:409,665
         z_q = _gather_codewords(codebook, indices)
