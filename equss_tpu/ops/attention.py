@@ -170,13 +170,21 @@ def fused_attention_qkv(
         n_real = N
     # q rows are tiled so the scoped-VMEM footprint stays bounded at long
     # sequences (a whole-sequence (npad, npad) f32 logit block at 1664
-    # tokens is 11 MB and blows the 16 MB scoped limit together with the
-    # qkv block); k/v stay whole-sequence resident, so the i-inner grid
-    # fetches them once per batch element.
-    bq = ((N + 127) // 128) * 128
-    if bq > 1024:
-        bq = 512
-    npad = ((N + bq - 1) // bq) * bq
+    # tokens is 11 MB and blows the VMEM budget together with the qkv
+    # block); k/v stay whole-sequence resident, so the i-inner grid
+    # fetches them once per batch element.  npad never exceeds the
+    # 128-rounded N: bq is chosen as the largest 128-multiple DIVISOR of
+    # npad <= 1024 (a fixed bq=512 rounded 1601 -> 2048, re-padding
+    # every block and adding 28% attention waste at the 320^2 val res).
+    npad = ((N + 127) // 128) * 128
+    if npad <= 1024:
+        bq = npad
+    else:
+        bq = 128
+        for cand in range(1024, 127, -128):
+            if npad % cand == 0:
+                bq = cand
+                break
     qkv_p = jnp.pad(qkv, ((0, 0), (0, npad - N), (0, 0)))
     interpret = jax.default_backend() != "tpu"    # CPU tests run interpreted
     out = pl.pallas_call(
