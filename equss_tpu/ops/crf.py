@@ -66,27 +66,51 @@ def _blocked_kernel_apply(
     feats: jnp.ndarray,        # (N, F) sigma-normalized
     values: jnp.ndarray,       # (N, C) values to filter
     block: int,
+    message_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Exact (K @ values) with K_ij = exp(-||f_i - f_j||^2 / 2), streamed
-    in row blocks so the N x N kernel never materializes."""
+    in row blocks so the N x N kernel never materializes.
+
+    The (B, N) x (N, C) message matmul runs with bf16 operands and f32
+    accumulation — at N = 102400 (320^2) it is ~5.7 TFLOP per
+    mean-field pass in f32.  Kernel weights are in [0, 1] and messages
+    are 102400-term f32-accumulated sums, so the bf16 operand rounding
+    is far below the mean-field fixed point's own tolerance
+    (pydensecrf, the reference implementation, is itself a lattice
+    APPROXIMATION of this exact pass; the f32 naive path remains the
+    test oracle).
+
+    The DISTANCE cross term needs care: d2 is a small difference of
+    ~|f|^2-magnitude terms, so naively mixing a bf16 cross with f32
+    norms is catastrophic cancellation.  Instead the FEATURES are
+    rounded to bf16 once and both the norms and the cross term derive
+    from those same rounded values — bf16 x bf16 products are exact in
+    the f32 accumulator, so d2 is exactly the pairwise distance of the
+    (~0.4%-perturbed) features: a benign sigma perturbation, and the
+    cross matmul becomes a single MXU pass instead of an f32
+    multi-pass emulation."""
     n, fdim = feats.shape
     pad = (-n) % block
-    feats_p = jnp.pad(feats, ((0, pad), (0, 0)))
+    feats_b16 = feats.astype(jnp.bfloat16)
+    feats_r = feats_b16.astype(jnp.float32)        # bf16-valued, f32 carrier
+    feats_p = jnp.pad(feats_r, ((0, pad), (0, 0)))
     sq = jnp.sum(feats_p * feats_p, axis=-1)                    # (Np,)
     n_blocks = feats_p.shape[0] // block
     fb = feats_p.reshape(n_blocks, block, fdim)
     sqb = sq.reshape(n_blocks, block)
+    values_b = values.astype(message_dtype)
 
     def row_block(carry, xs):
         f_i, sq_i = xs                                          # (B, F), (B,)
         d2 = (
             sq_i[:, None]
             + sq[None, :n]
-            - 2.0 * jnp.einsum("bf,nf->bn", f_i, feats,
+            - 2.0 * jnp.einsum("bf,nf->bn", f_i.astype(jnp.bfloat16),
+                               feats_b16,
                                preferred_element_type=jnp.float32)
         )
         k = jnp.exp(-0.5 * jnp.maximum(d2, 0.0))                # (B, N)
-        out = jnp.einsum("bn,nc->bc", k, values,
+        out = jnp.einsum("bn,nc->bc", k.astype(message_dtype), values_b,
                          preferred_element_type=jnp.float32)
         return carry, out
 

@@ -33,11 +33,20 @@ def test_blocked_kernel_matches_dense():
     rng = np.random.RandomState(0)
     feats = jnp.asarray(rng.randn(37, 5).astype(np.float32))
     vals = jnp.asarray(rng.randn(37, 4).astype(np.float32))
-    d2 = jnp.sum((feats[:, None] - feats[None]) ** 2, -1)
+    # the blocked path rounds features to bf16 once (see
+    # _blocked_kernel_apply); the oracle uses the same rounded values so
+    # this test isolates the streaming/blocking logic
+    feats_r = feats.astype(jnp.bfloat16).astype(jnp.float32)
+    d2 = jnp.sum((feats_r[:, None] - feats_r[None]) ** 2, -1)
     expected = jnp.exp(-0.5 * d2) @ vals
-    got = _blocked_kernel_apply(feats, vals, block=16)
+    got = _blocked_kernel_apply(feats, vals, block=16,
+                                message_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=1e-4, atol=1e-5)
+    # production default: bf16 message operands, f32 accumulation
+    got_b = _blocked_kernel_apply(feats, vals, block=16)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(expected),
+                               rtol=0, atol=5e-2)
 
 
 def test_dense_crf_matches_naive_oracle():
