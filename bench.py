@@ -41,8 +41,12 @@ def main():
         out, _ = model.apply(params, state, img, training=False)
         # scalar summary: fetching it to host forces completion of the
         # whole pipeline (block_until_ready does not reliably block on
-        # the tunneled axon platform)
-        return jnp.sum(out["indices"])
+        # the tunneled axon platform).  Consuming z_q as well as the
+        # indices keeps XLA from dead-code-eliminating the codeword
+        # gather — the benchmark covers the full inference output the
+        # probes consume, not just the assignment.
+        return (jnp.sum(out["indices"])
+                + jnp.sum(out["z_q"]).astype(jnp.int32))
 
     batch = 64
     img = jax.random.normal(jax.random.PRNGKey(1), (batch, 224, 224, 3),
