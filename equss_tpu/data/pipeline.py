@@ -24,14 +24,13 @@ before constructing the pipeline.
 from __future__ import annotations
 
 import os
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from os.path import join
 from typing import Any, Dict, Iterator, Optional
 
 import numpy as np
 
+from equss_tpu.core.prefetch import threaded_prefetch
 from equss_tpu.data.datasets import build_base_dataset
 
 
@@ -158,42 +157,7 @@ class UnSegData:
         with ThreadPoolExecutor(max_workers=workers) as pool:
             gen = self._epoch_batches(batch_size, shuffle, seed, drop_last,
                                       max_batches, pool)
-            q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
-            sentinel = object()
-
-            stop = threading.Event()
-
-            def put(x) -> bool:
-                while not stop.is_set():
-                    try:
-                        q.put(x, timeout=0.1)
-                        return True
-                    except queue.Full:
-                        continue
-                return False
-
-            def produce():
-                try:
-                    for b in gen:
-                        if not put(b):
-                            return
-                    put(sentinel)
-                except BaseException as e:      # propagate to the consumer
-                    put(e)
-
-            t = threading.Thread(target=produce, daemon=True)
-            t.start()
-            try:
-                while True:
-                    out = q.get()
-                    if out is sentinel:
-                        break
-                    if isinstance(out, BaseException):
-                        raise out
-                    yield out
-            finally:
-                stop.set()      # unblock the producer if we exit early
-                t.join()
+            yield from threaded_prefetch(gen, depth=max(prefetch, 1))
 
 
 def build_data(cfg: Dict[str, Any], mode: str, seed: int = 0) -> UnSegData:

@@ -21,7 +21,7 @@ and ran 32 ms; this layout compiles in seconds and lets Mosaic pipeline
 HBM->VMEM copies across the 8x98 grid steps.
 
 Measured (v5e, n=50176 M=64 K=256 d=16, l2, scalar-fetch timing):
-17.9 ms exact / 12.0 ms without the gather; the bf16 fast mode is
+19.4 ms exact / ~12 ms without the gather; the bf16 fast mode is
 within noise of exact (19 ms) — the cross dot is NOT the bottleneck at
 d=16 (6-pass f32 emulation ~6 ms is hidden), the VPU-side argmin +
 one-hot build over the (n, G*K) score rows is.  The in-graph XLA path
@@ -36,10 +36,15 @@ over each d-wide segment are one (TILE_N, G*d) @ (G*d, G) dot with a
 0/1 segment matrix and the broadcast back is its transpose — fully
 lane-utilized, no (n, M, d) layout (d=16 pads 8x) ever in HBM.
 
-Parity: distances in fp32 with HIGHEST-precision dots and first-minimum
-argmin tie-break — matches the XLA/torch reference path (tested; the
-block-diagonal zero padding contributes exact fp zeros, so sums are
-bit-identical).  exact=False uses bf16 inputs with f32 accumulation —
+Parity: distances in fp32 with HIGHEST-precision dots, the reference's
+(z^2 + c^2) - 2zc formula in the same add association, and
+first-minimum argmin tie-break.  Assignments match the XLA/torch path
+everywhere except exact f32 ties between near-duplicate codewords
+(degenerate collapsed-codebook states), where the kernel's internal
+sum orders can round the last ulp differently — an adversarial test
+pins this at <0.5% even there, and the XLA path itself is not
+bit-stable vs torch at such ties.  exact=False uses bf16 inputs with
+f32 accumulation —
 the same arithmetic the torch reference runs under fp16 autocast
 (train.py:80).  The codeword gather is a one-hot matmul against a
 3-way bf16 split of the codebook: selection sums are exact per pass and
@@ -122,19 +127,34 @@ def _pq_kernel(K: int, d: int, G: int, exact: bool, mode: str,
                    else jax.lax.Precision.DEFAULT),
     )                                                  # (TILE_N, G*K) f32
 
-    # 3) per-subspace first-min argmin; z^2 is row-constant per subspace
-    #    and cannot change the argmin, so distances reduce to c^2 - 2zc
-    score = c_sq_ref[0] - 2.0 * cross                  # (TILE_N, G*K)
+    # 3) per-subspace first-min argmin over the reference's full
+    #    (z^2 + c^2) - 2zc formula in the same add association: the z^2
+    #    row constant cannot change the argmin in exact arithmetic, but
+    #    dropping it (or re-associating the adds) changes WHICH
+    #    distances round to equal f32 values — near-duplicate codewords
+    #    (post-restart/collapse) that tie under the reference formula
+    #    (first index wins) can stay ordered otherwise, flipping
+    #    assignments vs the XLA/torch path (measured: 27% flips on a
+    #    collapsed-codebook adversarial case without z^2, ~0.1% with it;
+    #    the residual is last-ulp sum-order ties).  The adds happen at
+    #    full (TILE, G*K) width: Mosaic rejects broadcasts of
+    #    lane-offset (1, K) slices.
+    zsqs = []
+    for j in range(G):
+        zj = zn[:, j * d:(j + 1) * d]
+        z_sq = jnp.sum(zj * zj, axis=-1, keepdims=True)     # (TILE_N, 1)
+        zsqs.append(jnp.broadcast_to(z_sq, (zn.shape[0], K)))
+    dist = (jnp.concatenate(zsqs, axis=1) + c_sq_ref[0]) - 2.0 * cross
     idxs = []
     for j in range(G):
-        sl = score[:, j * K:(j + 1) * K]
+        sl = dist[:, j * K:(j + 1) * K]
         idxs.append(jnp.argmin(sl, axis=-1).astype(jnp.int32))
         idx_ref[0, :, j] = idxs[j]
 
     # 4) grouped one-hot gather: (TILE_N, G*K) @ (G*K, G*d) block-diagonal
     #    raw codebook, 3 bf16 split passes -> exact f32 codewords
     if want_zq:
-        col = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, cross.shape, 1)
         oh = None
         for j in range(G):
             hit = (col == (idxs[j][:, None] + j * K))

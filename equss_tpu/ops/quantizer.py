@@ -58,7 +58,7 @@ class PQConfig:
     jsd_ts: float = 1.0              # softmax temperature for distance prob
     # optional fused Pallas assignment kernel (ops/pq_pallas.py). On v5e
     # the in-graph XLA path currently measures faster for the bench shape
-    # (14 vs 18 ms per 64x224^2 batch; see the kernel module docstring
+    # (14 vs 19 ms per 64x224^2 batch; see the kernel module docstring
     # for the breakdown), so the kernel is opt-in; it is the right
     # choice when the (n, M, K) distance tensor would not fit in HBM
     # (val-res 320^2 large batches).

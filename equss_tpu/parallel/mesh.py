@@ -162,41 +162,8 @@ def device_prefetch(batches, mesh: Mesh, depth: int = 2,
     thread matters on hosts where device_put blocks while serializing
     (e.g. a tunneled device): the main thread keeps decoding while the
     copy drains."""
-    import queue as _queue
-    import threading
+    from equss_tpu.core.prefetch import threaded_prefetch
 
-    q: "_queue.Queue" = _queue.Queue(maxsize=max(depth, 1))
-    sentinel = object()
-    stop = threading.Event()
-
-    def put(x) -> bool:
-        while not stop.is_set():
-            try:
-                q.put(x, timeout=0.1)
-                return True
-            except _queue.Full:
-                continue
-        return False
-
-    def transfer():
-        try:
-            for b in batches:
-                if not put(shard_batch(mesh, b, axis_name)):
-                    return
-            put(sentinel)
-        except BaseException as e:
-            put(e)
-
-    t = threading.Thread(target=transfer, daemon=True)
-    t.start()
-    try:
-        while True:
-            out = q.get()
-            if out is sentinel:
-                break
-            if isinstance(out, BaseException):
-                raise out
-            yield out
-    finally:
-        stop.set()
-        t.join()
+    yield from threaded_prefetch(
+        batches, depth=depth,
+        map_fn=lambda b: shard_batch(mesh, b, axis_name))

@@ -154,6 +154,9 @@ class Trainer:
         # overrides it explicitly (build.py:123-141 semantics)
         ipe = cfg.get("train", {}).get(
             "iter_per_epoch", cfg.get("_iter_per_epoch", 100))
+        # single source of truth: fit()'s resume start_epoch must divide
+        # by the SAME value the schedules were built with
+        self.iter_per_epoch = max(int(ipe), 1)
         self.tx_model = build_optimizer(
             opt_cfg["model"], sch_cfg.get("model"),
             iter_per_epoch=ipe, max_epochs=self.tc.max_epochs,
@@ -529,8 +532,10 @@ class Trainer:
         )
         best = {"Cluster_mIoU": -1.0}
         it = int(ts["step"])
-        start_epoch = it // max(int(self.cfg.get("_iter_per_epoch", 1)), 1) \
-            if state is not None else 0
+        # resume epoch derives from the same iter_per_epoch the LR
+        # schedules use (a mismatched source/default here could compute
+        # start_epoch >= max_epochs and silently skip training)
+        start_epoch = it // self.iter_per_epoch if state is not None else 0
         for epoch in range(start_epoch, self.tc.max_epochs):
             t0 = time.time()
             # transfers overlap compute: the next batch device_puts while

@@ -113,3 +113,26 @@ def test_kmeans_batched_subspaces():
     cents, assign = kmeans(jax.random.PRNGKey(2), x, k=10, n_iters=5)
     assert cents.shape == (4, 10, 8)
     assert assign.shape == (4, 100)
+
+
+def test_pq_assign_pallas_tie_parity_near_duplicate_codewords():
+    """Adversarial tie case: near-duplicate codewords + large-magnitude z.
+
+    f32 rounding of z^2 + c^2 - 2zc collapses near-equal distances into
+    ties (first index wins in both torch and jnp.argmin); a kernel that
+    drops the z^2 row constant keeps the true order and flips
+    assignments.  Regression test for the restored full formula."""
+    rng = np.random.RandomState(42)
+    n, M, K, d = 256, 8, 128, 16
+    z = jnp.asarray(1000.0 * rng.randn(n, M, d).astype(np.float32))
+    base = rng.randn(M, 1, d).astype(np.float32)
+    cb = jnp.asarray(base + 1e-5 * rng.randn(M, K, d).astype(np.float32))
+
+    idx_p, _, _ = pq_assign_pallas(z, cb, cb)
+    idx_x = jnp.argmin(pairwise_sqdist(z, cb), -1).astype(jnp.int32)
+    agree = np.mean(np.asarray(idx_p) == np.asarray(idx_x))
+    # >= 99.5%: the full formula with matching add association leaves
+    # only last-ulp ties whose internal sum orders (z^2 reduce, 16- vs
+    # block-diagonal-128-term dot) the kernel cannot replicate exactly
+    # (without the z^2 term this case mismatches 27% of assignments)
+    assert agree >= 0.995, f"tie-break mismatch on {100 * (1 - agree):.1f}%"
