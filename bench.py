@@ -14,6 +14,14 @@ import json
 import time
 
 import jax
+
+# persistent XLA compile cache: remote TPU compiles over the tunnel
+# take minutes and occasionally stall; caching makes reruns (and the
+# driver's bench invocation after any warm-up) start measuring in
+# seconds instead of recompiling the full forward
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp
 
 A100_REFERENCE_IMGS_PER_SEC = 100.0
