@@ -64,24 +64,29 @@ def main():
     for _ in range(3):
         int(forward(params, state, img))
 
-    # best of 3 windows: wall time over the tunneled backend shows rare
-    # ~2x transients (host/tunnel contention, measured), and best-of is
-    # the standard way to report the device's actual throughput
+    # best of 3 windows for the headline (wall time over the tunneled
+    # backend shows rare ~2x transients — host/tunnel contention,
+    # measured); the median window is reported alongside so sustained
+    # throughput stays visible and cross-round comparisons are
+    # apples-to-apples (ADVICE r2)
     n_iters = 20
-    best_dt = float("inf")
+    dts = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n_iters - 1):
             out = forward(params, state, img)
         int(out)                  # force completion of the queued chain
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        dts.append(time.perf_counter() - t0)
 
-    imgs_per_sec = batch * (n_iters - 1) / best_dt
+    imgs_per_sec = batch * (n_iters - 1) / min(dts)
+    median_ips = batch * (n_iters - 1) / sorted(dts)[len(dts) // 2]
     print(json.dumps({
         "metric": "dense ViT-S/8 + PQ(64x256) inference images/sec/chip @224",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / A100_REFERENCE_IMGS_PER_SEC, 3),
+        "median_window": round(median_ips, 2),
+        "methodology": "best of 3 x 19-step windows; median_window = sustained",
     }))
 
 

@@ -62,12 +62,24 @@ class UnSegData:
         self.nns: Optional[np.ndarray] = None
         if pos_images:
             if nns_path is None:
-                # cache naming contract (dataset_aug.py:488-489)
-                base = "cocostuff27" if "cocostuff" in dataset_name else dataset_name
-                nns_path = join(
-                    data_dir, "nns",
-                    f"nns_{model_type}_{dataset_name}_{mode}_{crop_type}_224.npz",
-                )
+                # cache naming contract (dataset_aug.py:483-489): every
+                # cocostuff variant (cocostuff15/3/...) shares the
+                # cocostuff27 directory's nns cache; the reference hardcodes
+                # ../Datasets/{base}/nns — here the base dir is resolved as
+                # a SIBLING of data_dir when the names differ, with
+                # data_dir/nns itself as the preferred location.
+                base = ("cocostuff27" if "cocostuff" in dataset_name
+                        else dataset_name)
+                fname = (f"nns_{model_type}_{dataset_name}_{mode}_"
+                         f"{crop_type}_224.npz")
+                candidates = [join(data_dir, "nns", fname)]
+                norm = os.path.normpath(data_dir)
+                if os.path.basename(norm) != base:
+                    candidates.append(
+                        join(os.path.dirname(norm), base, "nns", fname))
+                nns_path = next(
+                    (c for c in candidates if os.path.exists(c)),
+                    candidates[0])
             if not os.path.exists(nns_path):
                 raise FileNotFoundError(
                     f"could not find nn file {nns_path}; run the kNN "
@@ -81,6 +93,13 @@ class UnSegData:
     def item(self, index: int, rng: np.random.RandomState) -> Dict[str, Any]:
         ret = dict(self.dataset.get(index, rng)
                    if hasattr(self.dataset, "get") else self.dataset[index])
+        # invalid-pixel mask (dataset_aug.py:507-529 item contract; the
+        # reference's per-dataset mask semantics are inconsistent —
+        # `label > 0` float at :209/:383 vs `label == -1` bool at
+        # :268/:327 — standardized here as invalid==True bool; no live
+        # reference path consumes it)
+        if "mask" not in ret and isinstance(ret.get("label"), np.ndarray):
+            ret["mask"] = ret["label"] == -1
         if self.nns is not None:
             # random 1..num_neighbors-th neighbor (dataset_aug.py:519-521)
             k = rng.randint(1, self.num_neighbors + 1)
@@ -90,6 +109,8 @@ class UnSegData:
             ret["index_pos"] = ind_pos
             ret["img_pos"] = pos["img"]
             ret["label_pos"] = pos["label"]
+            if isinstance(pos.get("label"), np.ndarray):
+                ret["mask_pos"] = pos["label"] == -1
         return ret
 
     @staticmethod

@@ -243,23 +243,25 @@ def photometric_aug(
     # random grayscale
     to_gray = jax.random.bernoulli(keys[4], grayscale_p, (b, 1, 1, 1))
     img = jnp.where(to_gray, jnp.broadcast_to(_rgb_to_gray(img), img.shape), img)
-    # gaussian blur (separable depthwise conv)
-    sig = jax.random.uniform(keys[5], (), minval=blur_sigma[0],
+    # gaussian blur (separable depthwise conv); sigma drawn PER IMAGE,
+    # matching torchvision GaussianBlur's per-call sample
+    # (dataset_aug.py:42 applies the transform independently per item)
+    sig = jax.random.uniform(keys[5], (b,), minval=blur_sigma[0],
                              maxval=blur_sigma[1])
     half = blur_kernel // 2
     x = jnp.arange(-half, half + 1, dtype=jnp.float32)
-    k1d = jnp.exp(-0.5 * (x / jnp.maximum(sig, 1e-6)) ** 2)
-    k1d = k1d / jnp.sum(k1d)
+    k1d = jnp.exp(-0.5 * (x[None, :] / jnp.maximum(sig[:, None], 1e-6)) ** 2)
+    k1d = k1d / jnp.sum(k1d, axis=-1, keepdims=True)        # (b, kernel)
 
     def blur(im):
         im_p = jnp.pad(im, [(0, 0), (half, half), (0, 0), (0, 0)], mode="edge")
         taps = jnp.stack(
             [im_p[:, i:i + im.shape[1]] for i in range(blur_kernel)], axis=1)
-        im_h = jnp.einsum("k,bkhwc->bhwc", k1d, taps)
+        im_h = jnp.einsum("bk,bkhwc->bhwc", k1d, taps)
         im_p = jnp.pad(im_h, [(0, 0), (0, 0), (half, half), (0, 0)], mode="edge")
         taps = jnp.stack(
             [im_p[:, :, i:i + im.shape[2]] for i in range(blur_kernel)], axis=2)
-        return jnp.einsum("k,bhkwc->bhwc", k1d, taps)
+        return jnp.einsum("bk,bhkwc->bhwc", k1d, taps)
 
     do_blur = jax.random.bernoulli(keys[6], blur_p, (b, 1, 1, 1))
     img = jnp.where(do_blur, blur(img), img)

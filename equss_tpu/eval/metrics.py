@@ -33,6 +33,15 @@ def confusion_update(
     """
     preds = preds.reshape(-1)
     label = label.reshape(-1)
+    # exactness precondition of the f32 one-hot matmul below: no single
+    # confusion cell may exceed 2^24 (f32 integer range).  The pixel
+    # count per call bounds every cell, so enforce it statically here
+    # (chunk the batch if a future eval ever trips this).
+    if label.size >= 2 ** 24:
+        raise ValueError(
+            f"confusion_update saw {label.size} pixels in one call; f32 "
+            f"one-hot-matmul counts are only exact below 2^24 per cell — "
+            f"split the batch")
     n_pred = num_classes + extra_classes
     mask = (
         (label >= 0) & (label < num_classes)

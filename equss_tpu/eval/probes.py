@@ -31,7 +31,13 @@ class EvaluatorConfig:
     embed_dim: int
     num_classes: int
     extra_classes: int = 0
-    alpha: float = 2.0          # cluster softmax sharpness (evaluator.py:93)
+    # cluster-probe assignment sharpness for the TRAINING loss: the
+    # reference's standard eval path passes alpha=None — HARD one-hot
+    # assignment, gradients flow only through the inner products
+    # (evaluator.py:70, ClusterLookup at :100-106).  The CRF branch's
+    # log-probs always use alpha=2 (evaluator.py:58), independent of
+    # this.  Set a float (e.g. 2.0) for soft-assignment training.
+    alpha: Optional[float] = None
     probe_res: str = "feat"     # 'feat' (fast) | 'label' (reference-exact)
     with_cluster: bool = True   # False: supervised linear-only (sl_train.py)
 
@@ -164,6 +170,7 @@ class Evaluator(nn.Module):
         if want_log_probs:
             result["linear_log_probs"] = jax.nn.log_softmax(linear_logits, axis=-1)
             if cluster_inner is not None:
+                # CRF log-probs always use alpha=2 (evaluator.py:58)
                 result["cluster_log_probs"] = jax.nn.log_softmax(
-                    cluster_inner * cfg.alpha, axis=-1)
+                    cluster_inner * 2.0, axis=-1)
         return result

@@ -35,11 +35,15 @@ def distributed_sinkhorn(
     Q = jnp.exp(out / epsilon).T                    # (K, n)
     if valid is not None:
         Q = Q * valid[None, :].astype(Q.dtype)
-    world = jax.lax.psum(1, axis_name) if axis_name is not None else 1
     if valid is None:
+        world = jax.lax.psum(1, axis_name) if axis_name is not None else 1
         B = Q.shape[1] * world
     else:
-        B = jnp.sum(valid.astype(Q.dtype)) * world
+        # psum the actual per-shard valid counts (NOT local * world):
+        # correct even if shards ever carry divergent masks
+        B = jnp.sum(valid.astype(Q.dtype))
+        if axis_name is not None:
+            B = jax.lax.psum(B, axis_name)
     K = Q.shape[0]
 
     sum_Q = jnp.sum(Q)

@@ -10,7 +10,7 @@ bit-equal, per SURVEY §7.4).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -131,14 +131,26 @@ def stego_loss(
     orig_code: jnp.ndarray,
     orig_code_pos: jnp.ndarray,
     cfg: StegoLossConfig,
+    sample_override: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
-    """STEGO loss over NHWC feature/code maps (loss.py:701-739)."""
+    """STEGO loss over NHWC feature/code maps (loss.py:701-739).
+
+    sample_override: optional (coords1, coords2, perms) replacing the
+    random draws — coords* (b, fs, fs, 2) in [-1, 1], perms
+    (neg_samples, b) int.  This is the deterministic-replay seam the
+    twin-training parity harness uses to feed BOTH frameworks identical
+    sample coordinates (the reference draws them via torch.rand/randperm
+    inside STEGOLoss.forward, loss.py:708-727)."""
     b = orig_feats.shape[0]
     fs = cfg.feature_samples
     k1, k2, k_neg = jax.random.split(key, 3)
 
-    coords1 = jax.random.uniform(k1, (b, fs, fs, 2)) * 2.0 - 1.0
-    coords2 = jax.random.uniform(k2, (b, fs, fs, 2)) * 2.0 - 1.0
+    if sample_override is not None:
+        coords1, coords2, perms_override = sample_override
+    else:
+        perms_override = None
+        coords1 = jax.random.uniform(k1, (b, fs, fs, 2)) * 2.0 - 1.0
+        coords2 = jax.random.uniform(k2, (b, fs, fs, 2)) * 2.0 - 1.0
 
     feats = _sample(orig_feats, coords1)
     code = _sample(orig_code, coords1)
@@ -151,7 +163,8 @@ def stego_loss(
     neg_terms = []
     keys = jax.random.split(k_neg, cfg.neg_samples)
     for i in range(cfg.neg_samples):        # static unroll (5 iters)
-        perm = super_perm(keys[i], b)
+        perm = (perms_override[i] if perms_override is not None
+                else super_perm(keys[i], b))
         feats_neg = _sample(orig_feats[perm], coords2)
         code_neg = _sample(orig_code[perm], coords2)
         neg_terms.append(

@@ -19,6 +19,7 @@ from equss_tpu.models.vit import VisionTransformer, make_vit_config
 from equss_tpu.ops.quantizer import (
     PQConfig,
     ema_jsd_entropy,
+    pq_data_init,
     pq_forward,
     pq_init,
 )
@@ -78,6 +79,9 @@ class EQUSSConfig:
     freeze_backbone: bool = True
     backbone_dtype: Any = jnp.float32
     attn_bf16: bool = False
+    # model.pretrained.gelu: None (auto) | 'erf' | 'tanh' — lets
+    # parity-sensitive bf16 runs keep the exact erf GELU
+    gelu: Any = None
     pq: PQConfig = dataclasses.field(default_factory=PQConfig)
     stego: StegoLossConfig = dataclasses.field(default_factory=StegoLossConfig)
 
@@ -99,6 +103,7 @@ class EQUSSConfig:
             freeze_backbone=pre.get("freeze_backbone", True),
             backbone_dtype=dtype,
             attn_bf16=(precision == "bf16"),
+            gelu=pre.get("gelu"),
             pq=pq_config_from_dict(m["vq"]),
             stego=stego_config_from_dict(cfg["loss"]["stego"]),
         )
@@ -115,7 +120,7 @@ class EQUSS:
         self.cfg = cfg
         self.vit_cfg = make_vit_config(
             cfg.model_type, cfg.patch_size, dtype=cfg.backbone_dtype,
-            attn_bf16=cfg.attn_bf16,
+            attn_bf16=cfg.attn_bf16, gelu=cfg.gelu,
         )
         self.backbone = VisionTransformer(self.vit_cfg)
         self.head = ExpansionHead(cfg.hidden_dim)
@@ -159,6 +164,28 @@ class EQUSS:
         """Expansion head: cluster1 + cluster2 (dino_pqgo.py:127-128)."""
         return self.head.apply({"params": params["head"]}, feat)
 
+    # -- data-dependent codebook init (first batch) ---------------------------
+    @property
+    def needs_data_init(self) -> bool:
+        return self.cfg.pq.need_initialized in ("kmeans", "rand")
+
+    def data_init(
+        self,
+        params: Dict[str, Any],
+        state: Dict[str, Any],
+        img: jnp.ndarray,
+        rng: jax.Array,
+    ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        """kmeans/rand codebook init from the first train batch
+        (dino_pqgo.py:341-355): cluster the expansion-head code and
+        overwrite the codebook before the first optimizer step.  Runs
+        without dropout so the init is deterministic given the batch."""
+        code = self.encode(params, self.features(params, img))
+        zf = code.reshape(-1, self.cfg.pq.num_pq, self.cfg.pq.sub_dim)
+        pq_p, pq_s = pq_data_init(
+            rng, zf, params["pq"], state["pq"], self.cfg.pq)
+        return dict(params, pq=pq_p), dict(state, pq=pq_s)
+
     # -- full forward ---------------------------------------------------------
     def apply(
         self,
@@ -171,6 +198,7 @@ class EQUSS:
         feat_pos: Optional[jnp.ndarray] = None,
         training: bool = False,
         rng: Optional[jax.Array] = None,
+        stego_override: Optional[Tuple] = None,
         **_: Any,
     ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
         """Forward (dino_pqgo.py:114-154).
@@ -221,7 +249,8 @@ class EQUSS:
 
         if training:
             aux["stego-loss"] = stego_loss(
-                k_stego, feat, feat_pos, code, code_pos, cfg.stego
+                k_stego, feat, feat_pos, code, code_pos, cfg.stego,
+                sample_override=stego_override,
             )
             if cfg.pq.vq_type == "ema" and "distance_prob" in aux:
                 # telemetry on batch halves (dino_pqgo.py:452-455)

@@ -37,7 +37,12 @@ import jax.numpy as jnp
 from equss_tpu.losses.basic import info_nce_loss, jsd_loss, margin_ranking_loss, club_loss
 from equss_tpu.models.heads import CLUBEncoder, DecResBlock, EncResBlock, dropout2d
 from equss_tpu.models.vit import VisionTransformer, make_vit_config
-from equss_tpu.ops.quantizer import PQConfig, pq_forward, pq_init
+from equss_tpu.ops.quantizer import (
+    PQConfig,
+    pq_data_init,
+    pq_forward,
+    pq_init,
+)
 
 
 def codebook_usage_percentiles(count: jnp.ndarray, prefix: str = "") -> Dict[str, jnp.ndarray]:
@@ -65,7 +70,8 @@ class _BackboneMixin:
 
     def _setup_backbone(self, pre: Dict[str, Any], dtype=jnp.float32):
         self.vit_cfg = make_vit_config(pre["model_type"],
-                                       pre["dino_patch_size"], dtype=dtype)
+                                       pre["dino_patch_size"], dtype=dtype,
+                                       gelu=pre.get("gelu"))
         self.backbone = VisionTransformer(self.vit_cfg)
         self.feat_dim = self.vit_cfg.embed_dim
         self.patch_size = pre["dino_patch_size"]
@@ -183,6 +189,7 @@ class UnSegModel(_BackboneMixin):
                 num_pq=num_pq[i], num_codebook=vq["num_codebooks"][i],
                 embed_dim=self.embed_dims[i], vq_type=vq.get("vq_type", "param"),
                 assign_precision=vq.get("assign_precision", "exact"),
+                need_initialized=vq.get("need_initialized", "none"),
                 beta=vq.get("beta", 0.25), normalize=vq.get("normalize", "none"),
                 use_restart=vq.get("use_restart", False),
                 use_split=vq.get("use_split", False),
@@ -239,6 +246,41 @@ class UnSegModel(_BackboneMixin):
 
     def _init_bn(self, dummy, net_params):
         return getattr(self, "_bn_template", {})
+
+    @property
+    def needs_data_init(self) -> bool:
+        return any(c.need_initialized in ("kmeans", "rand")
+                   for c in self.pq_cfgs)
+
+    def data_init(self, params, state, img, rng):
+        """kmeans/rand codebook init from the first train batch, chained
+        through the VQ stack so each quantizer clusters its ACTUAL input
+        (dino_pqgo.py:341-355, applied per codebook in forward order)."""
+        feat_dino = self.features(params, img)
+
+        def full(net, feat):
+            f = net.encode(feat)
+            new_pq = []
+            for i, c in enumerate(self.pq_cfgs):
+                fi = net.vq_input(i, f)
+                zf = fi.reshape(-1, c.num_pq, c.sub_dim)
+                p_i, s_i = pq_data_init(
+                    jax.random.fold_in(rng, i), zf,
+                    params["pq"][i], state["pq"][i], c)
+                new_pq.append((p_i, s_i))
+                if i < self.num_vq - 1:
+                    z_q, _, _, _ = pq_forward(fi, p_i, s_i, c, training=False)
+                    f = net.vq_output(i, f, z_q)
+            return new_pq
+
+        variables = {"params": params["net"]}
+        if state.get("batch_stats"):
+            variables["batch_stats"] = state["batch_stats"]
+        new_pq = self.net.apply(variables, feat_dino, method=full)
+        return (
+            dict(params, pq=[p for p, _ in new_pq]),
+            dict(state, pq=[s for _, s in new_pq]),
+        )
 
     def apply(self, params, state, img, img_pos=None, *, training=False,
               rng=None, **_):
@@ -336,6 +378,16 @@ class NewVQModel(_BackboneMixin):
         self.net = _NewVQNet(self.hidden_dim, self.feat_dim,
                              m.get("enc_num_blocks", 1),
                              m.get("dec_num_blocks", 1))
+        # k-means candidate-sampling pretraining stage
+        # (dino_new_vq.py:128-156: faiss k-means over the batch's DINO
+        # pixels, train enc->VQ->dec recon on the n_kmeans nearest
+        # pixels per centroid only).  The reference ships it unreachable
+        # (stage is never passed, faiss import commented out); here it is
+        # a live config knob `model.stage: 1` (+ model.n_kmeans), with
+        # ops/kmeans on the MXU instead of host faiss.  Requires
+        # eval.output_type: feat (no spatial z_q in this stage).
+        self.stage = int(m.get("stage", 0))
+        self.n_kmeans = int(m.get("n_kmeans", 100))
         ince = cfg["loss"].get("info_nce", {})
         self.info_nce_kwargs = dict(
             normalize=ince.get("normalize", "l2"),
@@ -379,6 +431,39 @@ class NewVQModel(_BackboneMixin):
             variables["batch_stats"] = state["batch_stats"]
         feat, _ = self.net.apply(variables, feat_dino, method=self.net.encode,
                                  mutable=[])
+        if training and self.stage == 1:
+            if rng is None:
+                raise ValueError("stage-1 sampling requires rng")
+            from equss_tpu.ops.kmeans import kmeans as _kmeans
+
+            # cluster the DINO pixels; keep the n_kmeans nearest per
+            # centroid (faiss Kmeans + IndexFlatL2.search analogue,
+            # dino_new_vq.py:135-146).  The encoder is pointwise (1x1
+            # Dense blocks), so gathering the already-encoded spatial
+            # feat equals encoding the gathered pixels.
+            flat_dino = feat_dino.reshape(-1, self.feat_dim)
+            cents, _ = _kmeans(jax.random.fold_in(rng, 3), flat_dino,
+                               k=self.pq_cfg.num_codebook, n_iters=10)
+            d2 = (jnp.sum(flat_dino * flat_dino, -1)[None, :]
+                  + jnp.sum(cents * cents, -1)[:, None]
+                  - 2.0 * cents @ flat_dino.T)         # (K, n)
+            _, near = jax.lax.top_k(-d2, self.n_kmeans)
+            sel = near.reshape(-1)                     # (K * n_kmeans,)
+            feat_s = feat.reshape(-1, self.hidden_dim)[sel]
+            z_q_s, idx_s, aux, pq_state = pq_forward(
+                feat_s, params["pq"], state["pq"], self.pq_cfg,
+                training=True, rng=rng,
+            )
+            recon, mutated = self.net.apply(
+                variables, z_q_s, True, method=self.net.decode,
+                mutable=["batch_stats"])
+            aux["recon-loss"] = jnp.mean((recon - flat_dino[sel]) ** 2)
+            b = img.shape[0]
+            new_state = {"pq": pq_state,
+                         "batch_stats": mutated.get(
+                             "batch_stats", state.get("batch_stats", {}))}
+            return {"feat": feat_dino[:b], "code": feat[:b], "z_q": z_q_s,
+                    "indices": idx_s, "aux": aux}, new_state
         z_q, idx, aux, pq_state = pq_forward(
             feat, params["pq"], state["pq"], self.pq_cfg,
             training=training, rng=rng,
@@ -1250,6 +1335,21 @@ class EMAModel(_BackboneMixin):
         }
         return {"backbone": backbone_params, "head": head_params}, state
 
+    needs_data_init = True
+
+    def data_init(self, params, state, img, rng):
+        """One-time teacher-feature bank init (dino_ema.py:91-99 faiss
+        k-means analogue): cluster the (initial == student) teacher
+        head's output on the first batch into centroids + support
+        queues.  Runs once via the Trainer hook instead of a lax.cond
+        inside every jitted train step."""
+        feat = self.features(params, img)
+        z = self.head.apply({"params": state["ema_head"]}, feat)
+        cents, queue = self._init_bank(rng, z.reshape(-1, self.hidden_dim))
+        return params, dict(
+            state, centroid=cents, queue=queue,
+            bank_initialized=jnp.ones((), jnp.int32))
+
     def _init_bank(self, key, z_flat):
         from equss_tpu.ops.kmeans import kmeans
 
@@ -1285,15 +1385,11 @@ class EMAModel(_BackboneMixin):
             z_teacher = jax.lax.stop_gradient(
                 self.head.apply({"params": ema_head}, feat_t))
             z_flat = z_teacher.reshape(-1, self.hidden_dim)
-
-            def do_init(_):
-                return self._init_bank(keys[1], z_flat)
-
-            def keep(_):
-                return state["centroid"], state["queue"]
-
-            centroid, queue = jax.lax.cond(
-                state["bank_initialized"] == 0, do_init, keep, None)
+            # bank init happens ONCE in data_init (Trainer hook) before
+            # the first step — keeping the k-means out of the per-step
+            # graph (it used to sit in a lax.cond traced into EVERY step,
+            # inflating compile time for a branch that runs once)
+            centroid, queue = state["centroid"], state["queue"]
 
             # assign teacher pixels to centroids; enqueue the closest
             # enqueue_k per cluster (functional ring update)

@@ -85,13 +85,23 @@ VIT_PRESETS = {
 
 
 def make_vit_config(model_type: str, patch_size: int, dtype=jnp.float32,
-                    img_size: int = 224, attn_bf16: bool = False) -> ViTConfig:
+                    img_size: int = 224, attn_bf16: bool = False,
+                    gelu: Any = None) -> ViTConfig:
+    """gelu: None = auto (tanh in bf16, erf in f32 — see ViTConfig),
+    'erf'/False = exact erf even in bf16 (parity-sensitive runs),
+    'tanh'/True = force the approximation.  Exposed to configs as
+    model.pretrained.gelu."""
     if model_type not in VIT_PRESETS:
         raise ValueError(f"Unknown arch {model_type}")
     dim, depth, heads = VIT_PRESETS[model_type]
+    if isinstance(gelu, str):
+        if gelu not in ("erf", "tanh"):
+            raise ValueError(f"model.pretrained.gelu must be erf|tanh, got {gelu}")
+        gelu = gelu == "tanh"
     return ViTConfig(
         patch_size=patch_size, embed_dim=dim, depth=depth, num_heads=heads,
         pos_grid=img_size // patch_size, dtype=dtype, attn_bf16=attn_bf16,
+        gelu_tanh=gelu,
     )
 
 
@@ -107,6 +117,13 @@ class Attention(nn.Module):
         qkv_flat = nn.Dense(3 * C, use_bias=cfg.qkv_bias, dtype=cfg.dtype,
                             name="qkv")(x)                     # (B, N, 3C)
         scale = cfg.head_dim ** -0.5
+        if n_real is not None and n_real != N and want_attn:
+            # the fused kernel (the only path that can mask padded keys)
+            # does not materialize attention maps; callers wanting maps
+            # must not pre-pad the token stream
+            raise ValueError(
+                "want_attn is unsupported with a padded token stream "
+                "(n_real != N): the fused kernel returns no attention maps")
         if (cfg.fused_attn and not want_attn and N >= cfg.fused_attn_min_n
                 and cfg.attn_bf16 and cfg.dtype == jnp.bfloat16) \
                 or (n_real is not None and n_real != N):

@@ -111,8 +111,10 @@ def pq_init(key: jax.Array, cfg: PQConfig) -> Tuple[Dict[str, Any], Dict[str, An
         weight = std * jax.random.normal(k_w, (M, K, d), jnp.float32)
     else:
         # default uniform(-1/K, 1/K) (dino_pqgo.py:170,492-493); "kmeans"
-        # and "rand" are data-dependent — the trainer applies them on the
-        # first batch via ops.kmeans / restart before the training loop
+        # and "rand" are data-dependent — the Trainer calls the model's
+        # ``data_init`` hook (-> pq_data_init below) on the FIRST train
+        # batch before the first step, mirroring the reference's lazy
+        # first-forward init (dino_pqgo.py:341-366)
         weight = jax.random.uniform(
             k_w, (M, K, d), jnp.float32, minval=-1.0 / K, maxval=1.0 / K
         )
@@ -136,6 +138,52 @@ def pq_init(key: jax.Array, cfg: PQConfig) -> Tuple[Dict[str, Any], Dict[str, An
     if cfg.normalize == "z_trainable":
         params["z_mean"] = jnp.zeros((M, d), jnp.float32)
         params["z_log_var"] = jnp.zeros((M, d), jnp.float32)
+    return params, state
+
+
+def pq_data_init(
+    key: jax.Array,
+    zf: jnp.ndarray,
+    params: Dict[str, Any],
+    state: Dict[str, Any],
+    cfg: PQConfig,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Data-dependent codebook init from the first training batch.
+
+    zf: (n, M, d) raw (pre-normalization) subspace features, matching
+    the reference which clusters ``z_flat`` before its normalize step
+    (dino_pqgo.py:341-355).
+
+    * ``kmeans``: per-subspace k-means++ Lloyd on device (the sklearn
+      ``KMeans(init='k-means++')`` analogue, dino_pqgo.py:348-355) —
+      batched over all M subspaces in one call instead of a host loop.
+    * ``rand``: every codeword replaced by a random batch vector (the
+      reference's prepare_restart(zeros)+restart, dino_pqgo.py:343-346).
+
+    Both the live codebook and the EMA average buffer are overwritten
+    (reference copies into weight AND weight_avg, :354-355); counts stay
+    zero.  No-op for other ``need_initialized`` modes.
+    """
+    if cfg.need_initialized not in ("kmeans", "rand"):
+        return params, state
+    M, K, d = cfg.num_pq, cfg.num_codebook, cfg.sub_dim
+    zf = zf.reshape(-1, M, d).astype(jnp.float32)
+    zm = zf.transpose(1, 0, 2)                            # (M, n, d)
+    if cfg.need_initialized == "kmeans":
+        from equss_tpu.ops.kmeans import kmeans
+
+        weight, _ = kmeans(key, zm, k=K, n_iters=25)      # (M, K, d)
+    else:  # rand
+        n = zm.shape[1]
+        cand = jax.random.randint(key, (M, K), 0, n)
+        weight = jnp.take_along_axis(zm, cand[..., None], axis=1)
+    params = dict(params)
+    state = dict(state)
+    if cfg.vq_type == "param":
+        params["codebook"] = weight
+    else:
+        state["ema_weight"] = weight
+        state["ema_weight_avg"] = weight + jnp.zeros_like(weight)
     return params, state
 
 

@@ -97,11 +97,19 @@ def broadcast_object(obj, is_source: bool = True):
     import numpy as np
     import pickle
 
+    # two-phase: broadcast the exact payload length first, then the
+    # payload at that length — no fixed-size buffer to silently truncate
+    # a large object (and no trailing-zero stripping that would corrupt
+    # a pickle ending in zero bytes)
     payload = pickle.dumps(obj) if is_source else b""
-    arr = np.frombuffer(payload.ljust(65536, b"\0"), dtype=np.uint8).copy()
-    out = multihost_utils.broadcast_one_to_all(arr)
-    data = bytes(out).rstrip(b"\0")
-    return pickle.loads(data)
+    size = multihost_utils.broadcast_one_to_all(
+        np.asarray([len(payload)], dtype=np.int64))
+    n = int(size[0])
+    buf = np.zeros((n,), dtype=np.uint8)
+    if is_source:
+        buf[:] = np.frombuffer(payload, dtype=np.uint8)
+    out = multihost_utils.broadcast_one_to_all(buf)
+    return pickle.loads(bytes(out))
 
 
 def barrier(name: str = "barrier") -> None:

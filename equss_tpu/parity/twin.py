@@ -1,0 +1,548 @@
+"""Twin-training accuracy-parity harness.
+
+Trains the SAME pqgo configuration in BOTH frameworks — the torch
+reference at /root/reference (imported as an oracle, never copied) and
+this framework's own Trainer — from identical weights on an identical
+miniature corpus, with every stochastic knob either disabled or fed
+identical draws, and compares:
+
+  (a) per-step loss trajectories (stego / vq / linear / cluster / total),
+  (b) final Hungarian cluster + linear mIoU, each computed by each
+      framework's OWN metric stack,
+  (c) per-pixel codeword indices (the BASELINE.md dump protocol) at the
+      full flagship shape.
+
+Determinism strategy: dropout off (drop_prob=0), no photometric aug
+(pqgo consumes none), pq_dropout=0, no restart/split; the one remaining
+stochastic element — STEGO's sampled coordinates/negative permutations
+(loss.py:708-727) — is drawn ONCE per step by the harness from a numpy
+RNG with the reference's exact distributions and injected into BOTH
+sides (the reference via a shim module that calls the reference's own
+``sample``/``helper``; this framework via ``stego_loss``'s
+``sample_override`` seam).
+
+Reference call stack mirrored: train.py:60-160 (zero_grad -> wrapper
+forward -> backward -> clip(model params) -> 3 Adam steps),
+wrapper/PQGOWrapper.py:52-103 (loss assembly + probes on detached out),
+model/metric.py:13-100 (Hungarian mIoU).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import types
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------------------
+# reference import (oracle only)
+# --------------------------------------------------------------------------
+
+def import_reference():
+    """Make /root/reference importable (stubs torchmetrics, absent here)."""
+    import torch  # noqa: F401
+
+    if not torch.cuda.is_available():
+        # the reference's forward calls torch.cuda.synchronize()
+        # unconditionally around its stego timing (dino_pqgo.py:145-148)
+        # — a no-op stand-in lets the oracle run on CPU
+        torch.cuda.synchronize = lambda *a, **k: None
+        torch.cuda.empty_cache = lambda *a, **k: None
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    if "torchmetrics" not in sys.modules:
+        import torch.nn.functional as F
+
+        tm = types.ModuleType("torchmetrics")
+        tm_f = types.ModuleType("torchmetrics.functional")
+
+        def pairwise_cosine_similarity(x):
+            xn = F.normalize(x, dim=-1)
+            return xn @ xn.T
+
+        tm_f.pairwise_cosine_similarity = pairwise_cosine_similarity
+        tm.functional = tm_f
+        sys.modules["torchmetrics"] = tm
+        sys.modules["torchmetrics.functional"] = tm_f
+    if "torchvision" not in sys.modules:
+        # crf_utils imports torchvision.transforms.functional at module
+        # level; only its CRF path (never exercised here) would use it
+        tv = types.ModuleType("torchvision")
+        tv_t = types.ModuleType("torchvision.transforms")
+        tv_f = types.ModuleType("torchvision.transforms.functional")
+        tv.transforms = tv_t
+        tv_t.functional = tv_f
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv_t
+        sys.modules["torchvision.transforms.functional"] = tv_f
+    if "pydensecrf" not in sys.modules:
+        # the reference's evaluator module imports utils.crf_utils at
+        # module level; the CRF path itself is never exercised by the
+        # twin run (is_crf=False throughout)
+        pd = types.ModuleType("pydensecrf")
+        pd_d = types.ModuleType("pydensecrf.densecrf")
+        pd_u = types.ModuleType("pydensecrf.utils")
+        pd.densecrf = pd_d
+        pd.utils = pd_u
+        sys.modules["pydensecrf"] = pd
+        sys.modules["pydensecrf.densecrf"] = pd_d
+        sys.modules["pydensecrf.utils"] = pd_u
+
+
+# --------------------------------------------------------------------------
+# shared configuration
+# --------------------------------------------------------------------------
+
+def make_twin_config(
+    *,
+    model_type: str = "vit_small",
+    patch_size: int = 8,
+    embed_dim: int = 64,
+    num_pq: int = 8,
+    num_codebook: int = 32,
+    num_classes: int = 4,
+    feature_samples: int = 5,
+    neg_samples: int = 2,
+    lr_model: float = 3.0e-4,
+    lr_probe: float = 3.0e-3,
+) -> Dict[str, Any]:
+    """One config dict BOTH frameworks parse (the schemas intentionally
+    match, core/config.py)."""
+    return {
+        "seed": 0,
+        "num_classes": num_classes,
+        "dataset_name": "cocostuff27",
+        "model": {
+            "name": "pqgo",
+            "pretrained": {
+                "model_type": model_type,
+                "dino_patch_size": patch_size,
+                "freeze_backbone": True,
+                "dropout": False,
+                "drop_prob": 0.0,              # determinism: no dropout
+                "pretrained_weights": None,     # set by the harness
+                "precision": "f32",
+            },
+            "vq": {
+                "vq_type": "param",
+                "num_codebooks": [num_codebook],
+                "embed_dims": [embed_dim],
+                "beta": 0.25,
+                "book": 1.0,
+                "normalize": "l2",
+                "use_restart": False,
+                "use_split": False,
+                "use_weighted_sum": False,
+                "use_gumbel": False,
+                "need_initialized": "none",
+                "pq_dropout": 0.0,
+                "num_pq": [num_pq],
+                "assign_precision": "exact",
+            },
+        },
+        "loss": {
+            "stego_weight": 1.0,
+            "vq_weight": 1.0,
+            "stego": {
+                "neg_inter_weight": 0.63, "pos_inter_weight": 0.25,
+                "pos_intra_weight": 0.67, "neg_inter_shift": 0.66,
+                "pos_inter_shift": 0.02, "pos_intra_shift": 0.08,
+                "zero_clamp": True, "pointwise": True, "stabilize": False,
+                "feature_samples": feature_samples,
+                "neg_samples": neg_samples,
+            },
+            "jsd": {"temperature": 1.0},
+        },
+        "optimizer": {
+            "model": {"name": "adam", "lr": lr_model, "weight_decay": 0.0},
+            "cluster": {"name": "adam", "lr": lr_probe},
+            "linear": {"name": "adam", "lr": lr_probe},
+        },
+        "scheduler": {
+            "model": {"name": "constant"},
+            "cluster": {"name": "constant"},
+            "linear": {"name": "constant"},
+        },
+        "eval": {"output_type": "vq0", "extra_classes": 0,
+                 "probe_res": "label"},        # reference-exact probes
+        "train": {"max_epochs": 1, "clip_grad": 10.0, "num_accum": 1,
+                  "print_interval_iters": 1000,
+                  "valid_interval_iters": 100000},
+    }
+
+
+def stego_samples(rng: np.random.RandomState, b: int, fs: int,
+                  neg: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One step's STEGO draws with the reference's exact distributions
+    (loss.py:708-727: uniform coords in [-1,1], derangement perms)."""
+    c1 = (rng.rand(b, fs, fs, 2).astype(np.float32) * 2.0 - 1.0)
+    c2 = (rng.rand(b, fs, fs, 2).astype(np.float32) * 2.0 - 1.0)
+    perms = np.zeros((neg, b), np.int64)
+    for i in range(neg):
+        p = rng.permutation(b)
+        p[p == np.arange(b)] += 1
+        perms[i] = p % b
+    return c1, c2, perms
+
+
+# --------------------------------------------------------------------------
+# torch (reference) twin
+# --------------------------------------------------------------------------
+
+class TorchTwin:
+    """The reference model/wrapper driven by train.py's step recipe."""
+
+    def __init__(self, cfg: Dict[str, Any], seed: int = 0):
+        import_reference()
+        import torch
+
+        import model.dino.vision_transformer as vits
+        from model.dino_pqgo import DIONPQGO
+        from wrapper.PQGOWrapper import PQGOWrapper
+
+        self.torch = torch
+        torch.manual_seed(seed)
+        # random-init backbone saved to a local .pth: DinoFeaturizer
+        # downloads from the internet when no path is given (no egress
+        # here), so hand it a file (dino_featurizer.py:38-47)
+        pre = cfg["model"]["pretrained"]
+        bb = vits.__dict__[pre["model_type"]](
+            patch_size=pre["dino_patch_size"], num_classes=0)
+        fd, self._pth = tempfile.mkstemp(suffix=".pth")
+        os.close(fd)
+        torch.save({"teacher": bb.state_dict()}, self._pth)
+        ref_model_cfg = dict(cfg["model"], pretrained=dict(
+            pre, pretrained_weights=self._pth))
+        self.model = DIONPQGO(ref_model_cfg, cfg["loss"])
+        self.wrapper = PQGOWrapper(cfg, self.model)
+        self.clip = float(cfg["train"]["clip_grad"])
+
+        opt = cfg["optimizer"]
+        mk = lambda ps, c: torch.optim.Adam(  # noqa: E731
+            ps, lr=c["lr"], weight_decay=c.get("weight_decay", 0.0))
+        self.opts = [
+            mk([p for p in self.model.parameters() if p.requires_grad],
+               opt["model"]),
+            mk(self.wrapper.evaluator.cluster_probe.parameters(),
+               opt["cluster"]),
+            mk(self.wrapper.evaluator.linear_probe.parameters(),
+               opt["linear"]),
+        ]
+        self._install_stego_shim()
+
+    # -- identical-draw injection ------------------------------------------
+    def _install_stego_shim(self):
+        """Replace the reference STEGOLoss's internal draws with the
+        harness-injected samples, still computing through the
+        reference's OWN sample()/helper() (model/loss.py:655-739)."""
+        import torch
+        from model.loss import sample as ref_sample
+
+        inner = self.model.stego_loss
+        holder: Dict[str, Any] = {}
+        self._stego_holder = holder
+
+        class _Injected(torch.nn.Module):
+            def forward(self, f, fp, c, cp):
+                cfg = inner.cfg
+                c1, c2, perms = holder["samples"]
+                feats = ref_sample(f, c1)
+                code = ref_sample(c, c1)
+                feats_pos = ref_sample(fp, c2)
+                code_pos = ref_sample(cp, c2)
+                pos_intra, _ = inner.helper(
+                    feats, feats, code, code, cfg["pos_intra_shift"])
+                pos_inter, _ = inner.helper(
+                    feats, feats_pos, code, code_pos, cfg["pos_inter_shift"])
+                negs = []
+                for i in range(cfg["neg_samples"]):
+                    perm = perms[i]
+                    negs.append(inner.helper(
+                        feats, ref_sample(f[perm], c2),
+                        code, ref_sample(c[perm], c2),
+                        cfg["neg_inter_shift"])[0])
+                neg_inter = torch.cat(negs, dim=0)
+                return (cfg["pos_intra_weight"] * pos_intra.mean()
+                        + cfg["pos_inter_weight"] * pos_inter.mean()
+                        + cfg["neg_inter_weight"] * neg_inter.mean())
+
+        self.model.stego_loss = _Injected()
+
+    # -- helpers ------------------------------------------------------------
+    def to_torch_img(self, img_nhwc_norm: np.ndarray):
+        return self.torch.from_numpy(
+            np.ascontiguousarray(img_nhwc_norm.transpose(0, 3, 1, 2)))
+
+    def step(self, img, img_pos, label,
+             samples: Tuple[np.ndarray, ...]) -> Dict[str, float]:
+        """One train step (train.py:74-100: forward, backward, clip on
+        model params, three Adam steps).  img/img_pos are normalized
+        NHWC numpy; label int numpy."""
+        torch = self.torch
+        self.wrapper.train()
+        self._stego_holder["samples"] = (
+            torch.from_numpy(samples[0]),
+            torch.from_numpy(samples[1]),
+            torch.from_numpy(samples[2]),
+        )
+        img_t = self.to_torch_img(img)
+        pos_t = self.to_torch_img(img_pos)
+        label_t = torch.from_numpy(label).long()
+        for o in self.opts:
+            o.zero_grad(set_to_none=True)
+        total, output, _, _ = self.wrapper(
+            img=img_t, aug_img=img_t, label=label_t, img_pos=pos_t)
+        total.backward()
+        torch.nn.utils.clip_grad_norm_(
+            [p for p in self.model.parameters() if p.requires_grad],
+            max_norm=self.clip)
+        for o in self.opts:
+            o.step()
+        return {
+            "loss": float(total.detach()),
+            "stego-loss": float(output["stego-loss"].detach()),
+            "vq-loss": float(output["vq-loss"].detach()),
+            "linear-loss": float(output["linear-loss"].detach()),
+            "cluster-loss": float(output["cluster-loss"].detach()),
+        }
+
+    def validate(self, val_batches, num_classes: int,
+                 extra_classes: int = 0) -> Dict[str, float]:
+        """Reference-side eval: wrapper forward (eval mode) + the
+        reference's OWN UnSegMetrics (model/metric.py)."""
+        import torch
+        from model.metric import UnSegMetrics
+
+        dev = torch.device("cpu")
+        cluster_m = UnSegMetrics(num_classes, extra_classes, True, dev)
+        linear_m = UnSegMetrics(num_classes, 0, False, dev)
+        cluster_m.reset()
+        linear_m.reset()
+        self.wrapper.eval()
+        with torch.no_grad():
+            for batch in val_batches:
+                img_t = self.to_torch_img(batch["img_norm"])
+                label_t = torch.from_numpy(batch["label"]).long()
+                _, _, (linear_preds, cluster_preds), _ = self.wrapper(
+                    img=img_t, aug_img=img_t, label=label_t)
+                cluster_m.update(cluster_preds, label_t)
+                linear_m.update(linear_preds, label_t)
+        # compute() mkdirs ./class_matrix under cwd (metric.py:99) — run
+        # it from a temp dir so the side effect stays out of the repo
+        old = os.getcwd()
+        with tempfile.TemporaryDirectory() as td:
+            try:
+                os.chdir(td)
+                c = cluster_m.compute(prefix="twin")
+                li = linear_m.compute(prefix="twin")
+            finally:
+                os.chdir(old)
+        return {
+            "Cluster_mIoU": float(c["iou"]),
+            "Cluster_Accuracy": float(c["accuracy"]),
+            "Linear_mIoU": float(li["iou"]),
+            "Linear_Accuracy": float(li["accuracy"]),
+        }
+
+    def backbone_state_dict(self):
+        return self.model.extractor.backbone.state_dict()
+
+
+# --------------------------------------------------------------------------
+# weight transplant torch -> jax
+# --------------------------------------------------------------------------
+
+def transplant_weights(torch_twin: TorchTwin, trainer, ts) -> Dict[str, Any]:
+    """Copy every trainable tensor of the torch twin into this
+    framework's train state: backbone (converter), expansion head
+    (cluster1/cluster2, dino_pqgo.py:104-112), PQ codebooks, linear +
+    cluster probes (evaluator.py:22-24)."""
+    from equss_tpu.models.vit import convert_dino_torch_state
+    from equss_tpu.parallel.mesh import replicate
+
+    def arr(t):
+        return jnp.asarray(t.detach().cpu().numpy())
+
+    def conv1x1_to_dense(conv):
+        w = conv.weight.detach().cpu().numpy()       # (out, in, 1, 1)
+        return {"kernel": jnp.asarray(w[:, :, 0, 0].T),
+                "bias": arr(conv.bias)}
+
+    m = torch_twin.model
+    backbone = convert_dino_torch_state(
+        torch_twin.backbone_state_dict(), trainer.model.vit_cfg)
+    head = {
+        "cluster1": conv1x1_to_dense(m.cluster1[0]),
+        "cluster2_fc1": conv1x1_to_dense(m.cluster2[0]),
+        "cluster2_fc2": conv1x1_to_dense(m.cluster2[2]),
+    }
+    vq0 = m.vq_blocks[0]
+    if hasattr(vq0, "quantizers"):
+        codebook = jnp.stack([arr(q.embedding.weight)
+                              for q in vq0.quantizers])
+    else:
+        codebook = arr(vq0.embedding.weight)[None]
+    ev = torch_twin.wrapper.evaluator
+    probes = {
+        "linear_probe": {"linear": conv1x1_to_dense(ev.linear_probe)},
+        "cluster_probe": {"clusters": arr(ev.cluster_probe.clusters)},
+    }
+    new_ts = dict(
+        ts,
+        params=dict(ts["params"], backbone=backbone, head=head,
+                    pq=dict(ts["params"]["pq"], codebook=codebook)),
+        probe_params=probes,
+    )
+    return replicate(trainer.mesh, new_ts)
+
+
+# --------------------------------------------------------------------------
+# corpus
+# --------------------------------------------------------------------------
+
+def make_corpus(seed: int, n_train: int, n_val: int, batch_size: int,
+                res: int, num_classes: int) -> Tuple[List[Dict], List[Dict]]:
+    """Miniature corpus: both sides receive the SAME normalized float
+    images (the in-graph normalize is the identity transform applied on
+    the host for torch)."""
+    from equss_tpu.data.synthetic import synthetic_batches
+    from equss_tpu.data.transforms import normalize_images
+
+    def prep(batches, with_pos):
+        out = []
+        for b in batches:
+            # jax side gets the RAW image (the Trainer normalizes
+            # in-graph); torch gets the SAME normalize applied on the
+            # host — both models see bit-identical pixels
+            item = {
+                "label": b["label"],
+                "img": b["img"],
+                "img_norm": np.asarray(normalize_images(jnp.asarray(b["img"]))),
+            }
+            if with_pos:
+                item["img_pos"] = b["img_pos"]
+                item["img_pos_norm"] = np.asarray(
+                    normalize_images(jnp.asarray(b["img_pos"])))
+            out.append(item)
+        return out
+
+    train = prep(synthetic_batches(seed, n_train, batch_size, res=res,
+                                   num_classes=num_classes), True)
+    val = prep(synthetic_batches(seed + 1000, n_val, batch_size, res=res,
+                                 num_classes=num_classes,
+                                 with_pos=False), False)
+    return train, val
+
+
+# --------------------------------------------------------------------------
+# the twin run
+# --------------------------------------------------------------------------
+
+def run_twin_training(
+    n_steps: int = 30,
+    batch_size: int = 4,
+    res: int = 64,
+    seed: int = 0,
+    cfg_overrides: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
+    """Train both twins from identical weights on an identical corpus.
+
+    Returns {'steps': [per-step {jax: {...}, ref: {...}}],
+             'final': {'jax': metrics, 'ref': metrics}}.
+    """
+    from equss_tpu.parallel.mesh import make_mesh
+    from equss_tpu.train.trainer import Trainer
+
+    cfg = make_twin_config(**(cfg_overrides or {}))
+    stego = cfg["loss"]["stego"]
+    fs, neg = stego["feature_samples"], stego["neg_samples"]
+    nc = cfg["num_classes"]
+
+    ref = TorchTwin(cfg, seed=seed)
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = trainer.init_state(jax.random.PRNGKey(seed), img_hw=(res, res))
+    ts = transplant_weights(ref, trainer, ts)
+
+    n_batches = max(n_steps, 1)
+    train, val = make_corpus(seed, n_batches, 2, batch_size, res, nc)
+
+    draw_rng = np.random.RandomState(seed + 7)
+    steps = []
+    for i in range(n_steps):
+        batch = train[i % len(train)]
+        c1, c2, perms = stego_samples(draw_rng, batch_size, fs, neg)
+        jb = {
+            "img": batch["img"], "img_pos": batch["img_pos"],
+            "label": batch["label"],
+            "stego_coords1": c1, "stego_coords2": c2,
+            "stego_perms": perms.astype(np.int32),
+        }
+        ts, metrics = trainer.train_step(ts, jb)
+        jm = {k: float(metrics[k]) for k in
+              ("loss", "stego-loss", "vq-loss", "linear-loss")}
+        jm["cluster-loss"] = float(metrics["cluster-loss"])
+        rm = ref.step(batch["img_norm"], batch["img_pos_norm"],
+                      batch["label"], (c1, c2, perms))
+        steps.append({"jax": jm, "ref": rm})
+
+    jax_final = trainer.validate(ts, iter(val))
+    ref_final = ref.validate(val, nc)
+    return {"steps": steps, "final": {"jax": jax_final, "ref": ref_final}}
+
+
+def run_dump_protocol(
+    *,
+    model_type: str = "vit_small",
+    patch_size: int = 8,
+    embed_dim: int = 1024,
+    num_pq: int = 64,
+    num_codebook: int = 256,
+    res: int = 224,
+    batch: int = 2,
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """BASELINE.md per-pixel codeword-index dump protocol at the full
+    flagship shape: identical weights + identical input -> both models'
+    end-to-end forward (backbone -> head -> PQ assignment); returns the
+    two index dumps and prediction agreement stats."""
+    from equss_tpu.parallel.mesh import make_mesh
+    from equss_tpu.train.trainer import Trainer
+
+    cfg = make_twin_config(model_type=model_type, patch_size=patch_size,
+                           embed_dim=embed_dim, num_pq=num_pq,
+                           num_codebook=num_codebook)
+    ref = TorchTwin(cfg, seed=seed)
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = trainer.init_state(jax.random.PRNGKey(seed), img_hw=(res, res))
+    ts = transplant_weights(ref, trainer, ts)
+
+    rng = np.random.RandomState(seed + 3)
+    img = rng.rand(batch, res, res, 3).astype(np.float32)
+    from equss_tpu.data.transforms import normalize_images
+
+    img_n = np.asarray(normalize_images(jnp.asarray(img)))
+
+    # jax side: model forward, per-pixel indices (b, h, w, M)
+    out, _ = trainer.model.apply(
+        jax.device_get(ts["params"]), jax.device_get(ts["model_state"]),
+        jnp.asarray(img_n), training=False)
+    idx_jax = np.asarray(out["indices"])                  # (b, h, w, M)
+
+    # torch side: DIONPQGO forward returns z_quantized_index stacked
+    # (num_pq, b, h, w) (dino_pqgo.py:150-154)
+    torch = ref.torch
+    ref.wrapper.eval()
+    with torch.no_grad():
+        _, _, (_, _, idx_t), _ = ref.model(
+            img=ref.to_torch_img(img_n))
+    idx_ref = idx_t.cpu().numpy()                          # (M, b, h, w)
+    idx_ref_nhwm = np.transpose(idx_ref, (1, 2, 3, 0))
+
+    agree = float(np.mean(idx_jax == idx_ref_nhwm))
+    return {"idx_jax": idx_jax, "idx_ref": idx_ref_nhwm, "agreement": agree}

@@ -104,6 +104,9 @@ class Trainer:
             embed_dim=self.out_dim,
             num_classes=self.tc.num_classes,
             extra_classes=self.tc.extra_classes,
+            # None = reference-exact hard assignment (evaluator.py:70);
+            # eval.cluster_alpha: 2.0 opts into soft-assignment training
+            alpha=cfg.get("eval", {}).get("cluster_alpha"),
             probe_res=cfg.get("eval", {}).get("probe_res", "feat"),
             with_cluster=not self.supervised,
         ))
@@ -175,6 +178,14 @@ class Trainer:
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._valid_step = jax.jit(self._valid_step_impl)
+        # data-dependent init hook (need_initialized: kmeans/rand codebook
+        # init, dino_pqgo.py:341-366; EMAModel's feature-bank k-means):
+        # runs ONCE on the first train batch of a FRESH run, jitted
+        # separately so the k-means never bloats the per-step graph
+        self._needs_data_init = bool(
+            getattr(self.model, "needs_data_init", False))
+        self._data_init = (jax.jit(self._data_init_impl)
+                           if self._needs_data_init else None)
 
     # ------------------------------------------------------------------ init
     def init_state(self, key: jax.Array,
@@ -241,8 +252,10 @@ class Trainer:
 
     # keys the jitted steps consume; everything else stays on the host
     # (index/label_pos/paths ride the reference's DataLoader for free — over
-    # an interconnect every byte counts)
-    _DEVICE_KEYS = ("img", "img_pos", "aug_img", "feat", "feat_pos", "label")
+    # an interconnect every byte counts).  stego_* are the deterministic-
+    # replay seam of the twin-parity harness (losses/stego.py).
+    _DEVICE_KEYS = ("img", "img_pos", "aug_img", "feat", "feat_pos", "label",
+                    "stego_coords1", "stego_coords2", "stego_perms")
 
     def _host_trim(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         """Shrink a host batch to what the device step needs: consumed
@@ -271,6 +284,21 @@ class Trainer:
             out["label"] = out["label"].astype(jnp.int32)
         return out
 
+    def _data_init_impl(self, ts: Dict[str, Any], batch: Dict[str, Any]):
+        """First-batch data-dependent init (model.data_init hook)."""
+        batch = self._normalize_batch(batch)
+        rng, init_rng = jax.random.split(ts["rng"])
+        params, mstate = self.model.data_init(
+            ts["params"], ts["model_state"], batch["img"], init_rng)
+        return dict(ts, params=params, model_state=mstate, rng=rng)
+
+    def data_init(self, ts, batch):
+        """Apply the model's data-dependent init on a (host) batch."""
+        if self._data_init is None:
+            return ts
+        return self._data_init(
+            ts, shard_batch(self.mesh, self._host_trim(batch)))
+
     def _train_step_impl(self, ts: Dict[str, Any], batch: Dict[str, Any]):
         rng, step_rng = jax.random.split(ts["rng"])
         if self.apply_aug and batch.get("aug_img") is None:
@@ -288,6 +316,11 @@ class Trainer:
             "probes": ts["probe_params"],
         }
 
+        stego_ov = None
+        if "stego_coords1" in batch:
+            stego_ov = (batch["stego_coords1"], batch["stego_coords2"],
+                        batch["stego_perms"])
+
         def loss_fn(tr):
             params = dict(ts["params"], **tr["model"])
             out, new_mstate = self.model.apply(
@@ -297,6 +330,7 @@ class Trainer:
                 feat=batch.get("feat"),
                 feat_pos=batch.get("feat_pos"),
                 training=True, rng=step_rng,
+                stego_override=stego_ov,
             )
             aux = out["aux"]
             model_loss = self._model_loss(aux)
@@ -382,6 +416,11 @@ class Trainer:
                 ev["cluster_preds"], batch["label"], n, e)
             res["cluster_loss"] = ev["cluster_loss"]
             res["cluster_preds"] = ev["cluster_preds"]
+        if "indices" in out:
+            # per-subspace codeword ids, consumed by pq_visualization
+            # under is_visualize (train.py:347-356); stays device-side
+            # unless the valid loop actually saves it
+            res["pq_indices"] = out["indices"]
         return res
 
     # --------------------------------------------------------------- CRF eval
@@ -444,13 +483,20 @@ class Trainer:
     def _visualize(self, out_dir: str, saved: Dict[str, list],
                    cluster_m) -> None:
         """PNG dumps of predictions with the Hungarian-remapped cluster
-        ids (train.py:338-356, visualize_utils.py:38-62)."""
-        from equss_tpu.utils.visualize import visualization
+        ids (train.py:338-356, visualize_utils.py:38-62) + per-subspace
+        codeword maps when the model is quantized (train.py:347-356,
+        visualize_utils.py:65-91)."""
+        from equss_tpu.utils.visualize import pq_visualization, visualization
 
-        data = {k: np.concatenate(v) for k, v in saved.items()}
+        data = {k: np.concatenate(v) for k, v in saved.items() if v}
         name = self.cfg.get("dataset", {}).get("val", {}).get(
             "dataset_name", "cocostuff27")
         visualization(out_dir, name, data, cluster_m)
+        if "pq_indices" in data:
+            subspaces = self.cfg.get("eval", {}).get("visualize_pq_subspaces")
+            pq_visualization(out_dir, data["pq_indices"],
+                             subspaces=subspaces,
+                             upsample=self.model.cfg.patch_size)
 
     # ------------------------------------------------------------------ loops
     def train_step(self, ts, batch):
@@ -470,6 +516,7 @@ class Trainer:
         losses = []
         has_cluster = True
         saved = {"linear_preds": [], "cluster_preds": [], "label": []}
+        pq_idx = []
         for batch in device_prefetch(map(self._host_trim, val_iter),
                                      self.mesh):
             res = self._valid_step(ts, batch)
@@ -481,11 +528,15 @@ class Trainer:
                 saved["linear_preds"].append(np.asarray(res["linear_preds"]))
                 saved["cluster_preds"].append(np.asarray(res["cluster_preds"]))
                 saved["label"].append(np.asarray(batch["label"]))
+                if "pq_indices" in res:
+                    pq_idx.append(np.asarray(res["pq_indices"]))
             losses.append((float(res["linear_loss"]),
                            float(res.get("cluster_loss", 0.0))))
         if visualize_to and has_cluster and saved["linear_preds"]:
             # compute() must run first so the Hungarian assignment exists
             cluster_m.compute()
+            if pq_idx:
+                saved["pq_indices"] = pq_idx
             self._visualize(visualize_to, saved, cluster_m)
         linear = linear_m.compute()
         lin_l = float(np.mean([x[0] for x in losses])) if losses else 0.0
@@ -536,12 +587,19 @@ class Trainer:
         # schedules use (a mismatched source/default here could compute
         # start_epoch >= max_epochs and silently skip training)
         start_epoch = it // self.iter_per_epoch if state is not None else 0
+        # data-dependent codebook/bank init on the FIRST batch of a fresh
+        # run only (resumed states already trained past it, matching the
+        # reference's need_initialized -> "none" latch, dino_pqgo.py:366)
+        pending_data_init = self._needs_data_init and state is None
         for epoch in range(start_epoch, self.tc.max_epochs):
             t0 = time.time()
             # transfers overlap compute: the next batch device_puts while
             # the current step runs (train.py:66-70 non_blocking analogue)
             for batch in device_prefetch(
                     map(self._host_trim, train_batches(epoch)), self.mesh):
+                if pending_data_init:
+                    ts = self._data_init(ts, batch)
+                    pending_data_init = False
                 ts, metrics = self._train_step(ts, batch)
                 it += 1
                 if it % self.tc.print_interval_iters == 0:

@@ -77,3 +77,34 @@ def test_reference_config_parses():
     for path in glob.glob("/root/reference/config/**/*.yaml", recursive=True):
         cfg = resolve_config(load_config(path))
         assert isinstance(cfg, dict) and cfg
+
+
+def _flatten(d, prefix=""):
+    out = {}
+    for k, v in d.items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def test_parity_preset_differs_only_in_documented_knobs():
+    """pqgo_cocostuff27_parity.yaml must equal the fast preset except the
+    four documented fidelity knobs (+ run name) — so the bit-identical
+    configuration is a one-flag run, not code archaeology (VERDICT r2)."""
+    fast = _flatten(resolve_config(load_config("configs/pqgo_cocostuff27.yaml")))
+    par = _flatten(resolve_config(
+        load_config("configs/pqgo_cocostuff27_parity.yaml")))
+    expected = {
+        "wandb.name": ("pqgo_cocostuff27", "pqgo_cocostuff27_parity"),
+        "model.pretrained.precision": ("bf16", "f32"),
+        "model.pretrained.gelu": (None, "erf"),
+        "model.vq.assign_precision": ("bf16", "exact"),
+        "eval.probe_res": ("feat", "label"),
+    }
+    keys = set(fast) | set(par)
+    diffs = {k: (fast.get(k), par.get(k)) for k in keys
+             if fast.get(k) != par.get(k)}
+    assert diffs == {k: v for k, v in expected.items()}, diffs

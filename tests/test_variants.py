@@ -84,6 +84,18 @@ def test_new_vq_variant():
     _run_one(cfg)
 
 
+def test_new_vq_stage1_kmeans_sampling():
+    """model.stage: 1 trains enc->VQ->dec recon on the n_kmeans nearest
+    pixels per k-means centroid (dino_new_vq.py:128-156, shipped
+    unreachable in the reference)."""
+    cfg = base_cfg("new")
+    cfg["model"]["stage"] = 1
+    cfg["model"]["n_kmeans"] = 4
+    cfg["eval"]["output_type"] = "feat"
+    m = _run_one(cfg)
+    assert np.isfinite(m["recon-loss"])
+
+
 def test_spq_variant():
     cfg = base_cfg("spq")
     cfg["loss"]["jsd_weight"] = 0.1
@@ -244,7 +256,12 @@ def test_ema_variant_memory_bank():
     import jax as _jax
     ts = trainer.init_state(_jax.random.PRNGKey(0), img_hw=(16, 16))
     assert int(ts["model_state"]["bank_initialized"]) == 0
-    for batch in synthetic_batches(0, 2, batch_size=4, res=16):
+    batches = list(synthetic_batches(0, 2, batch_size=4, res=16))
+    # bank k-means now runs ONCE via the data_init hook (not a lax.cond
+    # traced into every train step)
+    ts = trainer.data_init(ts, batches[0])
+    assert int(ts["model_state"]["bank_initialized"]) == 1
+    for batch in batches:
         ts, metrics = trainer.train_step(ts, batch)
     assert int(ts["model_state"]["bank_initialized"]) == 1
     q = np.asarray(ts["model_state"]["queue"])
