@@ -47,7 +47,7 @@ def pq_config_from_dict(vq: Dict[str, Any]) -> PQConfig:
         decay=vq.get("decay", 0.99),
         eps=vq.get("eps", 1e-5),
         jsd_ts=vq.get("jsd_ts", 1.0),
-        use_pallas=vq.get("use_pallas", False),
+        use_pallas=vq.get("use_pallas", "auto"),
         assign_precision=vq.get("assign_precision", "exact"),
     )
 

@@ -72,13 +72,13 @@ def _pq_kernel(K: int, d: int, G: int, exact: bool, mode: str,
                want_zq: bool, *refs):
     if mode == "z_trainable":
         (z_ref, cbd_ref, c_sq_ref, c_hi_ref, c_mid_ref, c_lo_ref,
-         seg_ref, segT_ref, zm_ref, zs_ref) = refs[:10]
-        out_refs = refs[10:]
+         seg_ref, segT_ref, segK_ref, zm_ref, zs_ref) = refs[:11]
+        out_refs = refs[11:]
     else:
         (z_ref, cbd_ref, c_sq_ref, c_hi_ref, c_mid_ref, c_lo_ref,
-         seg_ref, segT_ref) = refs[:8]
+         seg_ref, segT_ref, segK_ref) = refs[:9]
         zm_ref = zs_ref = None
-        out_refs = refs[8:]
+        out_refs = refs[9:]
     if want_zq:
         idx_ref, zn_ref, zq_ref = out_refs
     else:
@@ -139,12 +139,15 @@ def _pq_kernel(K: int, d: int, G: int, exact: bool, mode: str,
     #    the residual is last-ulp sum-order ties).  The adds happen at
     #    full (TILE, G*K) width: Mosaic rejects broadcasts of
     #    lane-offset (1, K) slices.
-    zsqs = []
-    for j in range(G):
-        zj = zn[:, j * d:(j + 1) * d]
-        z_sq = jnp.sum(zj * zj, axis=-1, keepdims=True)     # (TILE_N, 1)
-        zsqs.append(jnp.broadcast_to(z_sq, (zn.shape[0], K)))
-    dist = (jnp.concatenate(zsqs, axis=1) + c_sq_ref[0]) - 2.0 * cross
+    #    broadcasts from per-subspace (TILE_N, G) rows to full
+    #    (TILE_N, G*K) width ride the MXU via the 0/1 segment matrix
+    #    segK (G, G*K): one dot replaces a G-iteration build loop whose
+    #    full-width VPU passes measured ~6 ms/call at the val shape.
+    #    Each output element is a single 1.0 x value product summed with
+    #    exact zeros -> bit-identical to the loop/concat it replaces.
+    segK = segK_ref[...]                                    # (G, G*K) 0/1
+    z_sq = _seg_dot(zn * zn, seg)                           # (TILE_N, G)
+    dist = (_seg_dot(z_sq, segK) + c_sq_ref[0]) - 2.0 * cross
     idxs = []
     for j in range(G):
         sl = dist[:, j * K:(j + 1) * K]
@@ -154,12 +157,14 @@ def _pq_kernel(K: int, d: int, G: int, exact: bool, mode: str,
     # 4) grouped one-hot gather: (TILE_N, G*K) @ (G*K, G*d) block-diagonal
     #    raw codebook, 3 bf16 split passes -> exact f32 codewords
     if want_zq:
-        col = jax.lax.broadcasted_iota(jnp.int32, cross.shape, 1)
-        oh = None
-        for j in range(G):
-            hit = (col == (idxs[j][:, None] + j * K))
-            oh = hit if oh is None else jnp.logical_or(oh, hit)
-        oh = oh.astype(jnp.bfloat16)
+        # oh[t, c] = (c % K == idx[t, c // K]): the target row broadcasts
+        # through segK on the MXU, then ONE full-width compare builds the
+        # one-hot (was G compare+or passes)
+        col_mod = jax.lax.broadcasted_iota(
+            jnp.int32, cross.shape, 1) % K
+        idx_f = jnp.stack(idxs, axis=1).astype(jnp.float32)  # (TILE_N, G)
+        target = _seg_dot(idx_f, segK)                       # (TILE_N, G*K)
+        oh = (col_mod.astype(jnp.float32) == target).astype(jnp.bfloat16)
         # exact: 3 bf16 passes recombine the f32 codeword bit-for-bit;
         # fast: hi+mid is already within ~1e-7 relative of f32
         parts = (c_hi_ref, c_mid_ref, c_lo_ref) if exact \
@@ -252,12 +257,16 @@ def pq_assign_pallas(
     lanes = jnp.arange(G * d) // d
     seg = (lanes[:, None] == jnp.arange(G)[None, :]).astype(jnp.float32)
     segT = seg.T
+    # (G, G*K) segment broadcast: row g is 1 over its K-block — carries
+    # per-subspace scalars (z^2, argmin index) to full width on the MXU
+    segK = (jnp.arange(G)[:, None]
+            == (jnp.arange(G * K)[None, :] // K)).astype(jnp.float32)
 
     # grid is (group, n-tile): the n-tile axis is innermost, so each
     # group's codebook blocks (~2.6 MB) stay VMEM-resident across the
     # whole n sweep instead of being re-fetched per tile (group-inner
     # order re-reads ~2 GB of codebook for the bench shape)
-    inputs = [z2, cbd, c_sq_g, c_hi, c_mid, c_lo, seg, segT]
+    inputs = [z2, cbd, c_sq_g, c_hi, c_mid, c_lo, seg, segT, segK]
     in_specs = [
         pl.BlockSpec((tile_n, G * d), lambda g, i: (i, g),
                      memory_space=pltpu.VMEM),
@@ -274,6 +283,8 @@ def pq_assign_pallas(
         pl.BlockSpec((G * d, G), lambda g, i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((G, G * d), lambda g, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, G * K), lambda g, i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     if normalize == "z_trainable":

@@ -56,13 +56,18 @@ class PQConfig:
     decay: float = 0.99              # EMA decay
     eps: float = 1.0e-5              # Laplace smoothing eps
     jsd_ts: float = 1.0              # softmax temperature for distance prob
-    # optional fused Pallas assignment kernel (ops/pq_pallas.py). On v5e
-    # the in-graph XLA path currently measures faster for the bench shape
-    # (14 vs 19 ms per 64x224^2 batch; see the kernel module docstring
-    # for the breakdown), so the kernel is opt-in; it is the right
-    # choice when the (n, M, K) distance tensor would not fit in HBM
-    # (val-res 320^2 large batches).
-    use_pallas: bool = False
+    # fused Pallas assignment kernel (ops/pq_pallas.py).  Measured on
+    # the chip (r3, n=51200 = 32x320^2 val batch): XLA in-graph 16.9 ms
+    # vs kernel 21.6 ms — XLA wins at EVERY shape whose (n, M, K)
+    # distance tensor fits HBM (it pipelines the HBM traffic better
+    # than the kernel's VPU argmin runs), so:
+    #   "auto" (default): XLA path while the distance-tensor working
+    #     set fits comfortably (< ~7 GB), kernel beyond — where the XLA
+    #     path's dist + one-hot tensors would OOM 16 GB HBM;
+    #   True: always kernel; False: always XLA.
+    use_pallas: Any = "auto"
+    # distance-tensor bytes above which "auto" switches to the kernel
+    pallas_auto_bytes: float = 7.0e9
     # distance arithmetic for the kernel path: "exact" = f32 HIGHEST
     # distances, bit-identical argmin vs the torch fp32 reference;
     # "bf16" = one-pass MXU distances with f32 accumulation — the same
@@ -404,8 +409,16 @@ def pq_forward(
     # (ops/pq_pallas.py); loss/straight-through math then runs on the
     # kernel's FLAT (n, D) outputs — the (n, M, d) layout XLA would pick
     # for them pads d=16 to 128 lanes and costs ~8x the HBM traffic.
+    if cfg.use_pallas == "auto":
+        # per-element dist bytes: f32 exact / bf16 fast; the XLA path
+        # additionally materializes a same-shape one-hot for the gather,
+        # so its working set is ~2x this
+        elt = 2 if cfg.assign_precision == "bf16" else 4
+        want_pallas = n * M * K * elt > cfg.pallas_auto_bytes
+    else:
+        want_pallas = bool(cfg.use_pallas)
     use_pallas = (
-        cfg.use_pallas
+        want_pallas
         and not training
         and not want_prob_eff
         and not cfg.use_weighted_sum

@@ -297,3 +297,34 @@ def test_bf16_assign_precision_close_to_exact():
         _, idx_b, _, _ = pq_forward(z, params, state, cfg_b, training=False)
         agree = np.mean(np.asarray(idx_b) == np.asarray(idx_e))
         assert agree > 0.98, (extra, agree)
+
+
+def test_use_pallas_auto_threshold(monkeypatch):
+    """use_pallas='auto' routes to the XLA path while the (n, M, K)
+    distance tensor is small and to the fused kernel beyond
+    pallas_auto_bytes (the XLA path OOMs HBM there — measured r3)."""
+    import equss_tpu.ops.pq_pallas as pp
+    from equss_tpu.ops.quantizer import PQConfig, pq_forward, pq_init
+
+    calls = []
+    orig = pp.pq_assign_pallas
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pp, "pq_assign_pallas", spy)
+    key = jax.random.PRNGKey(0)
+    z = jax.random.normal(key, (64, 16))
+    base = dict(num_pq=2, num_codebook=128, embed_dim=16, vq_type="param",
+                normalize="l2")
+
+    cfg = PQConfig(use_pallas="auto", **base)         # default 7 GB gate
+    params, state = pq_init(key, cfg)
+    _, idx_xla, _, _ = pq_forward(z, params, state, cfg, training=False)
+    assert calls == []
+
+    cfg_small = PQConfig(use_pallas="auto", pallas_auto_bytes=1.0, **base)
+    _, idx_k, _, _ = pq_forward(z, params, state, cfg_small, training=False)
+    assert calls == [1]
+    np.testing.assert_array_equal(np.asarray(idx_k), np.asarray(idx_xla))
