@@ -38,8 +38,13 @@ def main():
         dropout=False,
         backbone_dtype=jnp.bfloat16,
         attn_bf16=True,      # reference evaluates under fp16 autocast
+        # bf16 distances/gather = the shipped fast config
+        # (configs/pqgo_cocostuff27.yaml assign_precision: bf16), the
+        # arithmetic the reference's fp16-autocast production eval runs
+        # (train.py:80); assign_precision: exact is the parity preset
         pq=PQConfig(num_pq=64, num_codebook=256, embed_dim=1024,
-                    vq_type="param", normalize="l2"),
+                    vq_type="param", normalize="l2",
+                    assign_precision="bf16"),
     )
     model = EQUSS(cfg)
     params, state = model.init(jax.random.PRNGKey(0), img_hw=(224, 224))

@@ -62,6 +62,13 @@ class ViTConfig:
     # same fidelity class as the fp16-erf the torch reference evaluates
     # under autocast (train.py:80).
     gelu_tanh: Any = None
+    # fused Pallas LayerNorm (ops/layernorm.py) — measured a WASH on the
+    # chip (35.3 vs 35.4 ms train step): XLA already fuses the residual
+    # add + f32 convert INTO its LN reduce pass, and the opaque kernel
+    # breaks that fusion, so the ~0.37 ms/LN saved reappears as separate
+    # add_add passes.  Kept off; winning here needs an add+LN kernel
+    # that also carries the residual stream (PERF.md §round 3).
+    fused_ln: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -103,6 +110,31 @@ def make_vit_config(model_type: str, patch_size: int, dtype=jnp.float32,
         pos_grid=img_size // patch_size, dtype=dtype, attn_bf16=attn_bf16,
         gelu_tanh=gelu,
     )
+
+
+class FusedLayerNorm(nn.Module):
+    """Drop-in nn.LayerNorm replacement backed by the Pallas kernel
+    (ops/layernorm.py); identical param names ('scale'/'bias') so torch
+    checkpoint conversion is unaffected."""
+
+    epsilon: float
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from equss_tpu.ops.layernorm import fused_layernorm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return fused_layernorm(x.astype(self.dtype), scale, bias,
+                               self.epsilon)
+
+
+def _layer_norm(cfg: ViTConfig, name: str):
+    if cfg.fused_ln and cfg.dtype == jnp.bfloat16:
+        return FusedLayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name=name)
+    return nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name=name)
 
 
 class Attention(nn.Module):
@@ -177,12 +209,12 @@ class Block(nn.Module):
                  n_real: Optional[int] = None) -> Tuple[jnp.ndarray, Any]:
         cfg = self.cfg
         y, attn = Attention(cfg, name="attn")(
-            nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm1")(x),
+            _layer_norm(cfg, "norm1")(x),
             want_attn=want_attn, n_real=n_real,
         )
         x = x + y
         x = x + Mlp(cfg, name="mlp")(
-            nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm2")(x)
+            _layer_norm(cfg, "norm2")(x)
         )
         return x, attn
 
@@ -262,7 +294,7 @@ class VisionTransformer(nn.Module):
             n_real = n_tokens
             x = jnp.pad(x, ((0, 0), (0, (-n_tokens) % 128), (0, 0)))
 
-        final_ln = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm")
+        final_ln = _layer_norm(cfg, "norm")
         feats: List[jnp.ndarray] = []
         attns: List[jnp.ndarray] = []
         for i in range(cfg.depth):

@@ -20,15 +20,21 @@ small d=16-lane ops) compiled for minutes, often failed server-side,
 and ran 32 ms; this layout compiles in seconds and lets Mosaic pipeline
 HBM->VMEM copies across the 8x98 grid steps.
 
-Measured (v5e, n=50176 M=64 K=256 d=16, l2, scalar-fetch timing):
-19.4 ms exact / ~12 ms without the gather; the bf16 fast mode is
-within noise of exact (19 ms) — the cross dot is NOT the bottleneck at
-d=16 (6-pass f32 emulation ~6 ms is hidden), the VPU-side argmin +
-one-hot build over the (n, G*K) score rows is.  The in-graph XLA path
-measures ~14 ms end-to-end (HBM-bound on the 3.3 GB distance tensor but
-better pipelined), so the kernel is opt-in (PQConfig.use_pallas) until
-the VPU side is beaten; it IS the memory-frugal choice when the
-(n, M, K) tensor cannot fit (e.g. val-res 320^2 batches: 8.4 GB).
+Measured (v5e, M=64 K=256 d=16, l2, exact, scalar-fetch timing, r3):
+n=51200: kernel 21.0 ms (15.5 without the gather) vs XLA in-graph
+16.9 ms; n=102400: 37.9 vs 30.7; n=192000 (12.3 GB distance tensor!):
+115 vs 62.8.  The XLA path wins at EVERY shape that fits HBM — it
+pipelines the (n, M, K) round trip better than this kernel's VPU
+argmin runs, and it fuses the one-hot codeword gather so only one
+(n, M, K) tensor is ever live.  bf16 fast-mode cross terms measure
+the same or slower (VPU argmin bound, not the dot); tile_n 256-512
+within noise.  The remaining kernel costs: VPU argmin over the
+(TILE, G*K) scores (~9 ms at n=51200) and the 3-pass block-diagonal
+gather dots whose G x zero padding wastes 87.5% of MXU work (~5 ms).
+Verdict: `PQConfig.use_pallas = "auto"` routes here only when the
+distance tensor would approach the 16 GB HBM wall (> ~13 GB, i.e.
+n > ~200k pixels per call) — the kernel never materializes (n, M, K)
+and keeps working at any n; everywhere else the XLA path runs.
 
 Per-subspace normalization (l2 / z_norm / z_trainable,
 dino_pqgo.py:369-390) runs in-kernel via segment matmuls: reductions
@@ -139,15 +145,12 @@ def _pq_kernel(K: int, d: int, G: int, exact: bool, mode: str,
     #    the residual is last-ulp sum-order ties).  The adds happen at
     #    full (TILE, G*K) width: Mosaic rejects broadcasts of
     #    lane-offset (1, K) slices.
-    #    broadcasts from per-subspace (TILE_N, G) rows to full
-    #    (TILE_N, G*K) width ride the MXU via the 0/1 segment matrix
-    #    segK (G, G*K): one dot replaces a G-iteration build loop whose
-    #    full-width VPU passes measured ~6 ms/call at the val shape.
-    #    Each output element is a single 1.0 x value product summed with
-    #    exact zeros -> bit-identical to the loop/concat it replaces.
-    segK = segK_ref[...]                                    # (G, G*K) 0/1
-    z_sq = _seg_dot(zn * zn, seg)                           # (TILE_N, G)
-    dist = (_seg_dot(z_sq, segK) + c_sq_ref[0]) - 2.0 * cross
+    zsqs = []
+    for j in range(G):
+        zj = zn[:, j * d:(j + 1) * d]
+        z_sq = jnp.sum(zj * zj, axis=-1, keepdims=True)     # (TILE_N, 1)
+        zsqs.append(jnp.broadcast_to(z_sq, (zn.shape[0], K)))
+    dist = (jnp.concatenate(zsqs, axis=1) + c_sq_ref[0]) - 2.0 * cross
     idxs = []
     for j in range(G):
         sl = dist[:, j * K:(j + 1) * K]
@@ -157,14 +160,33 @@ def _pq_kernel(K: int, d: int, G: int, exact: bool, mode: str,
     # 4) grouped one-hot gather: (TILE_N, G*K) @ (G*K, G*d) block-diagonal
     #    raw codebook, 3 bf16 split passes -> exact f32 codewords
     if want_zq:
-        # oh[t, c] = (c % K == idx[t, c // K]): the target row broadcasts
-        # through segK on the MXU, then ONE full-width compare builds the
-        # one-hot (was G compare+or passes)
-        col_mod = jax.lax.broadcasted_iota(
-            jnp.int32, cross.shape, 1) % K
-        idx_f = jnp.stack(idxs, axis=1).astype(jnp.float32)  # (TILE_N, G)
-        target = _seg_dot(idx_f, segK)                       # (TILE_N, G*K)
-        oh = (col_mod.astype(jnp.float32) == target).astype(jnp.bfloat16)
+        if K <= 256:
+            # oh[t, c] = (c % K == idx[t, c // K]): the target row
+            # broadcasts through the segK (G, G*K) 0/1 matrix in ONE
+            # bf16 MXU dot (bf16 integers are exact up to 256, so idx
+            # values 0..K-1<=255 survive the cast bit-for-bit), then
+            # ONE full-width compare builds the one-hot — replacing G
+            # compare+or passes.  An f32 HIGHEST dot here costs 6 MXU
+            # passes and measured SLOWER than the loop (32.9 vs 21.6 ms
+            # at the val shape); the bf16 single pass is the fast exact
+            # form.
+            col_mod = jax.lax.broadcasted_iota(
+                jnp.int32, cross.shape, 1) % K
+            idx_b = jnp.stack(idxs, axis=1).astype(jnp.bfloat16)
+            target = jax.lax.dot_general(
+                idx_b, segK_ref[...].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (TILE_N, G*K)
+            oh = (col_mod.astype(jnp.float32) == target).astype(jnp.bfloat16)
+        else:
+            # K > 256: bf16 cannot carry the index exactly — build the
+            # one-hot with the G-pass compare+or loop
+            col = jax.lax.broadcasted_iota(jnp.int32, cross.shape, 1)
+            oh = None
+            for j in range(G):
+                hit = (col == (idxs[j][:, None] + j * K))
+                oh = hit if oh is None else jnp.logical_or(oh, hit)
+            oh = oh.astype(jnp.bfloat16)
         # exact: 3 bf16 passes recombine the f32 codeword bit-for-bit;
         # fast: hi+mid is already within ~1e-7 relative of f32
         parts = (c_hi_ref, c_mid_ref, c_lo_ref) if exact \

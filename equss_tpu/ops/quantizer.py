@@ -57,17 +57,20 @@ class PQConfig:
     eps: float = 1.0e-5              # Laplace smoothing eps
     jsd_ts: float = 1.0              # softmax temperature for distance prob
     # fused Pallas assignment kernel (ops/pq_pallas.py).  Measured on
-    # the chip (r3, n=51200 = 32x320^2 val batch): XLA in-graph 16.9 ms
-    # vs kernel 21.6 ms — XLA wins at EVERY shape whose (n, M, K)
-    # distance tensor fits HBM (it pipelines the HBM traffic better
-    # than the kernel's VPU argmin runs), so:
-    #   "auto" (default): XLA path while the distance-tensor working
-    #     set fits comfortably (< ~7 GB), kernel beyond — where the XLA
-    #     path's dist + one-hot tensors would OOM 16 GB HBM;
+    # the chip (r3, M=64 K=256 d=16, l2, exact): XLA in-graph BEATS the
+    # kernel at every shape that fits HBM — n=51200 (32x320^2 val
+    # batch): 16.9 vs 21.0 ms; n=102400: 30.7 vs 37.9; n=192000 (12.3
+    # GB distance tensor): 62.8 vs 115 — XLA pipelines the HBM round
+    # trip better than the kernel's VPU argmin runs, and it fuses the
+    # one-hot gather so only ONE (n, M, K) tensor ever exists.  So:
+    #   "auto" (default): XLA path until the distance tensor itself
+    #     approaches HBM capacity (~13 GB), kernel beyond — the kernel
+    #     never materializes (n, M, K) and keeps working at any n;
     #   True: always kernel; False: always XLA.
     use_pallas: Any = "auto"
     # distance-tensor bytes above which "auto" switches to the kernel
-    pallas_auto_bytes: float = 7.0e9
+    # (XLA measured alive at 12.3 GB; 16 GB HBM is the hard wall)
+    pallas_auto_bytes: float = 1.3e10
     # distance arithmetic for the kernel path: "exact" = f32 HIGHEST
     # distances, bit-identical argmin vs the torch fp32 reference;
     # "bf16" = one-pass MXU distances with f32 accumulation — the same

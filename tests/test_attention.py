@@ -72,3 +72,37 @@ def test_fused_attention_qkv_matches_xla(shape):
         np.float32).reshape(B, N, C)
     assert not np.isnan(out).any()
     np.testing.assert_allclose(out, ref, atol=3e-3)
+
+
+def test_fused_layernorm_matches_flax():
+    """ops/layernorm kernel vs flax nn.LayerNorm (the bf16 backbone
+    path): same f32-stats arithmetic, bf16 output rounding."""
+    import flax.linen as nn
+    from equss_tpu.ops.layernorm import fused_layernorm
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 100, 384).astype(np.float32))
+    scale = jnp.asarray(rng.randn(384).astype(np.float32))
+    bias = jnp.asarray(rng.randn(384).astype(np.float32))
+
+    ref_mod = nn.LayerNorm(epsilon=1e-6, dtype=jnp.bfloat16)
+    ref = ref_mod.apply({"params": {"scale": scale, "bias": bias}},
+                        x.astype(jnp.bfloat16))
+    out = fused_layernorm(x.astype(jnp.bfloat16), scale, bias, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2)
+    # mismatch must be bf16 rounding only: compare both to the f32 math
+    exact = (x - x.mean(-1, keepdims=True)) / jnp.sqrt(
+        x.var(-1, keepdims=True) + 1e-6) * scale + bias
+    assert float(jnp.max(jnp.abs(
+        out.astype(jnp.float32) - exact))) < 0.1
+
+    # gradient path (unused by the frozen backbone, but must be correct)
+    g = jax.grad(lambda a: jnp.sum(
+        fused_layernorm(a, scale, bias, 1e-6).astype(jnp.float32)))(x)
+    g_ref = jax.grad(lambda a: jnp.sum(
+        ((a - a.mean(-1, keepdims=True))
+         / jnp.sqrt(a.var(-1, keepdims=True) + 1e-6) * scale + bias)))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-3)
