@@ -62,12 +62,16 @@ class ViTConfig:
     # same fidelity class as the fp16-erf the torch reference evaluates
     # under autocast (train.py:80).
     gelu_tanh: Any = None
-    # fused Pallas LayerNorm (ops/layernorm.py) — measured a WASH on the
-    # chip (35.3 vs 35.4 ms train step): XLA already fuses the residual
-    # add + f32 convert INTO its LN reduce pass, and the opaque kernel
-    # breaks that fusion, so the ~0.37 ms/LN saved reappears as separate
-    # add_add passes.  Kept off; winning here needs an add+LN kernel
-    # that also carries the residual stream (PERF.md §round 3).
+    # fused Pallas add+LayerNorm in bf16 mode (ops/layernorm.py): each
+    # block's residual add rides INSIDE the LN kernel's VMEM pass, with
+    # the MLP output threaded as a pending residual into the next
+    # block's norm1.  Measured a LOSS on the chip even in this
+    # add-carrying form (A/B same-process: 35.60 vs 35.15 ms train
+    # step) — XLA's own lowering already fuses the residual add + f32
+    # convert into its LN reduce and additionally overlaps it with
+    # neighbouring matmuls, which an opaque kernel boundary forbids.
+    # Kept as a tested option + an honest record (PERF.md r3 #9);
+    # strict-f32 parity mode keeps the stock flax path regardless.
     fused_ln: bool = False
 
     @property
@@ -113,22 +117,31 @@ def make_vit_config(model_type: str, patch_size: int, dtype=jnp.float32,
 
 
 class FusedLayerNorm(nn.Module):
-    """Drop-in nn.LayerNorm replacement backed by the Pallas kernel
+    """Drop-in nn.LayerNorm replacement backed by the Pallas kernels
     (ops/layernorm.py); identical param names ('scale'/'bias') so torch
-    checkpoint conversion is unaffected."""
+    checkpoint conversion is unaffected.  Called with a second operand
+    it fuses the residual add: ``(x, y) -> (x+y, LN(x+y))`` — still
+    measured slightly behind XLA's own lowering (PERF.md r3 #9)."""
 
     epsilon: float
     dtype: Any
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from equss_tpu.ops.layernorm import fused_layernorm
+    def __call__(self, x: jnp.ndarray, y: Optional[jnp.ndarray] = None):
+        from equss_tpu.ops.layernorm import (
+            fused_add_layernorm,
+            fused_layernorm,
+        )
 
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
-        return fused_layernorm(x.astype(self.dtype), scale, bias,
-                               self.epsilon)
+        if y is None:
+            return fused_layernorm(x.astype(self.dtype), scale, bias,
+                                   self.epsilon)
+        return fused_add_layernorm(x.astype(self.dtype),
+                                   y.astype(self.dtype), scale, bias,
+                                   self.epsilon)
 
 
 def _layer_norm(cfg: ViTConfig, name: str):
@@ -201,13 +214,35 @@ class Mlp(nn.Module):
 
 
 class Block(nn.Module):
+    """Returns ``(x, pending, attn)``: in the fused-LN path the MLP
+    output rides as a PENDING residual that the NEXT block's norm1 (or
+    the final norm) folds into its add+LN kernel — keeping every
+    residual add fused with a LayerNorm pass, which is where XLA's own
+    lowering gets its speed (PERF.md r3 #9).  pending is None on the
+    stock path (the add happens here as usual)."""
+
     cfg: ViTConfig
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
+                 pending: Optional[jnp.ndarray] = None,
                  want_attn: bool = False,
-                 n_real: Optional[int] = None) -> Tuple[jnp.ndarray, Any]:
+                 n_real: Optional[int] = None):
         cfg = self.cfg
+        if cfg.fused_ln and cfg.dtype == jnp.bfloat16:
+            ln1 = FusedLayerNorm(cfg.ln_eps, cfg.dtype, name="norm1")
+            ln2 = FusedLayerNorm(cfg.ln_eps, cfg.dtype, name="norm2")
+            if pending is None:
+                h1 = ln1(x)
+            else:
+                x, h1 = ln1(x, pending)
+            y, attn = Attention(cfg, name="attn")(
+                h1, want_attn=want_attn, n_real=n_real)
+            x, h2 = ln2(x, y)
+            m = Mlp(cfg, name="mlp")(h2)
+            return x, m, attn
+        if pending is not None:
+            x = x + pending
         y, attn = Attention(cfg, name="attn")(
             _layer_norm(cfg, "norm1")(x),
             want_attn=want_attn, n_real=n_real,
@@ -216,7 +251,7 @@ class Block(nn.Module):
         x = x + Mlp(cfg, name="mlp")(
             _layer_norm(cfg, "norm2")(x)
         )
-        return x, attn
+        return x, None, attn
 
 
 class VisionTransformer(nn.Module):
@@ -297,11 +332,20 @@ class VisionTransformer(nn.Module):
         final_ln = _layer_norm(cfg, "norm")
         feats: List[jnp.ndarray] = []
         attns: List[jnp.ndarray] = []
+        pending = None
         for i in range(cfg.depth):
-            x, attn = Block(cfg, name=f"blocks_{i}")(x, want_attn=want_attn,
-                                                     n_real=n_real)
+            x, pending, attn = Block(cfg, name=f"blocks_{i}")(
+                x, pending, want_attn=want_attn, n_real=n_real)
             if cfg.depth - i <= n_last:
-                feats.append(final_ln(x[:, :n_tokens]))
+                if pending is None:
+                    feats.append(final_ln(x[:, :n_tokens]))
+                elif isinstance(final_ln, FusedLayerNorm):
+                    # fold the block's pending MLP residual into the
+                    # final norm's add+LN kernel
+                    feats.append(final_ln(x[:, :n_tokens],
+                                          pending[:, :n_tokens])[1])
+                else:
+                    feats.append(final_ln((x + pending)[:, :n_tokens]))
                 if want_attn:
                     attns.append(attn)
 

@@ -38,6 +38,23 @@ def _ln_kernel(eps: float, x_ref, scale_ref, bias_ref, o_ref):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
+def _add_ln_kernel(eps: float, x_ref, y_ref, scale_ref, bias_ref,
+                   sum_ref, o_ref):
+    """(x, y) -> (x+y, LN(x+y)) in one VMEM pass.  Carrying the residual
+    stream through the kernel preserves the fusion XLA's own lowering
+    gets (residual add folded into the LN reduce) — a plain LN kernel
+    measured a wash because it un-fused that add (PERF.md r3 #9)."""
+    s = x_ref[...] + y_ref[...]                      # residual dtype (bf16)
+    sum_ref[...] = s
+    x = s.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_layernorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                     eps: float = 1e-6) -> jnp.ndarray:
@@ -69,6 +86,58 @@ def _ln_fwd_impl(x, scale, bias, eps):
         interpret=jax.default_backend() != "tpu",
     )(x2p, scale, bias)
     return out[:n].reshape(orig_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_add_layernorm(x: jnp.ndarray, y: jnp.ndarray, scale: jnp.ndarray,
+                        bias: jnp.ndarray, eps: float = 1e-6):
+    """(x, y) -> (x + y, LayerNorm(x + y)) fused; x/y (..., C)."""
+    return _add_ln_fwd_impl(x, y, scale, bias, eps)
+
+
+def _add_ln_fwd_impl(x, y, scale, bias, eps):
+    orig_shape = x.shape
+    C = orig_shape[-1]
+    x2 = x.reshape(-1, C)
+    y2 = y.reshape(-1, C)
+    n = x2.shape[0]
+    tile_r = 512
+    pad = (-n) % tile_r
+    x2p = jnp.pad(x2, ((0, pad), (0, 0)))
+    y2p = jnp.pad(y2, ((0, pad), (0, 0)))
+    grid = ((n + pad) // tile_r,)
+    blk = pl.BlockSpec((tile_r, C), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM)
+    s, o = pl.pallas_call(
+        functools.partial(_add_ln_kernel, eps),
+        grid=grid,
+        in_specs=[blk, blk, vec, vec],
+        out_specs=[blk, blk],
+        out_shape=[jax.ShapeDtypeStruct(x2p.shape, x.dtype),
+                   jax.ShapeDtypeStruct(x2p.shape, x.dtype)],
+        interpret=jax.default_backend() != "tpu",
+    )(x2p, y2p, scale, bias)
+    return s[:n].reshape(orig_shape), o[:n].reshape(orig_shape)
+
+
+def _add_ln_fwd(x, y, scale, bias, eps):
+    return _add_ln_fwd_impl(x, y, scale, bias, eps), (x, y, scale, bias)
+
+
+def _add_ln_bwd(eps, res, g):
+    x, y, scale, bias = res
+    g_sum, g_ln = g
+
+    def ref(a, b, s, bb):
+        t = a + b
+        return t, _ln_ref(t, s, bb, eps)
+
+    _, vjp = jax.vjp(ref, x, y, scale, bias)
+    return vjp((g_sum, g_ln))
+
+
+fused_add_layernorm.defvjp(_add_ln_fwd, _add_ln_bwd)
 
 
 def _ln_ref(x, scale, bias, eps):

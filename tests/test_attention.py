@@ -106,3 +106,65 @@ def test_fused_layernorm_matches_flax():
          / jnp.sqrt(a.var(-1, keepdims=True) + 1e-6) * scale + bias)))(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_fused_add_layernorm_matches_reference():
+    from equss_tpu.ops.layernorm import fused_add_layernorm
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(3, 70, 384).astype(np.float32))
+    y = jnp.asarray(rng.randn(3, 70, 384).astype(np.float32))
+    scale = jnp.asarray(rng.randn(384).astype(np.float32))
+    bias = jnp.asarray(rng.randn(384).astype(np.float32))
+    s, o = fused_add_layernorm(x.astype(jnp.bfloat16),
+                               y.astype(jnp.bfloat16), scale, bias, 1e-6)
+    t = (x.astype(jnp.bfloat16) + y.astype(jnp.bfloat16)).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(s, np.float32), np.asarray(t),
+                               atol=1e-6)
+    exact = ((t - t.mean(-1, keepdims=True))
+             / jnp.sqrt(t.var(-1, keepdims=True) + 1e-6) * scale + bias)
+    np.testing.assert_allclose(np.asarray(o, np.float32), np.asarray(exact),
+                               rtol=2e-2, atol=2e-2)
+    # grads flow to BOTH operands through the pair of outputs
+    def f(a, b):
+        s2, o2 = fused_add_layernorm(a, b, scale, bias, 1e-6)
+        return jnp.sum(s2.astype(jnp.float32) * 0.3
+                       + o2.astype(jnp.float32))
+    ga, gb = jax.grad(f, argnums=(0, 1))(x, y)
+    def f_ref(a, b):
+        t2 = a + b
+        n2 = ((t2 - t2.mean(-1, keepdims=True))
+              / jnp.sqrt(t2.var(-1, keepdims=True) + 1e-6) * scale + bias)
+        return jnp.sum(t2 * 0.3 + n2)
+    ra, rb = jax.grad(f_ref, argnums=(0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_vit_fused_ln_path_matches_stock():
+    """The fused add+LN ViT path (ViTConfig.fused_ln, pending-residual
+    threading through Block) matches the stock flax-LN bf16 backbone.
+    Default-off (measured slower, PERF.md r3 #9) but kept as a tested
+    option."""
+    import dataclasses
+
+    from equss_tpu.models.vit import VisionTransformer, make_vit_config
+
+    cfg = make_vit_config("vit_micro", 8, dtype=jnp.bfloat16,
+                          attn_bf16=True)
+    vit_stock = VisionTransformer(dataclasses.replace(cfg, fused_ln=False))
+    vit_fused = VisionTransformer(dataclasses.replace(cfg, fused_ln=True))
+    img = jnp.asarray(np.random.RandomState(3).rand(1, 64, 64, 3),
+                      jnp.float32)
+    params = vit_stock.init(jax.random.PRNGKey(0), img)["params"]
+    a = np.asarray(vit_stock.apply({"params": params}, img)["dense"],
+                   np.float32)
+    b = np.asarray(vit_fused.apply({"params": params}, img)["dense"],
+                   np.float32)
+    np.testing.assert_allclose(a, b, atol=5e-2)
+    # param trees identical -> torch checkpoint conversion unaffected
+    p2 = vit_fused.init(jax.random.PRNGKey(0), img)["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(p2)
