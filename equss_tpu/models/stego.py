@@ -78,7 +78,11 @@ class STEGOModel:
         return feat
 
     def apply(self, params, state, img, img_pos=None, *, training=False,
-              rng=None, **_):
+              rng=None, stego_override=None, **_):
+        """stego_override: optional (coords1, coords2, perms) injected
+        into the STEGO loss in place of its random draws — the
+        deterministic-replay seam the twin-parity harness uses
+        (losses/stego.py sample_override)."""
         cfg = self.cfg
         if training and rng is None:
             raise ValueError("training forward requires rng")
@@ -98,5 +102,6 @@ class STEGOModel:
                 feat_pos = dropout2d(keys[1], feat_pos, cfg.drop_prob)
             code_pos = self.head.apply({"params": params["head"]}, feat_pos)
             aux["stego-loss"] = stego_loss(keys[2], feat, feat_pos,
-                                           code, code_pos, cfg.stego)
+                                           code, code_pos, cfg.stego,
+                                           sample_override=stego_override)
         return {"feat": feat, "code": code, "aux": aux}, state

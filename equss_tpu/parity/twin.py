@@ -1,6 +1,7 @@
 """Twin-training accuracy-parity harness.
 
-Trains the SAME pqgo configuration in BOTH frameworks — the torch
+Trains the SAME configuration (flagship pqgo, or the STEGO baseline
+family via ``variant='stego'``) in BOTH frameworks — the torch
 reference at /root/reference (imported as an oracle, never copied) and
 this framework's own Trainer — from identical weights on an identical
 miniature corpus, with every stochastic knob either disabled or fed
@@ -99,8 +100,16 @@ def import_reference():
 # shared configuration
 # --------------------------------------------------------------------------
 
+#: per-variant loss keys compared step-by-step (stego has no quantizer)
+TWIN_LOSS_KEYS = {
+    "pqgo": ("loss", "stego-loss", "vq-loss", "linear-loss", "cluster-loss"),
+    "stego": ("loss", "stego-loss", "linear-loss", "cluster-loss"),
+}
+
+
 def make_twin_config(
     *,
+    variant: str = "pqgo",
     model_type: str = "vit_small",
     patch_size: int = 8,
     embed_dim: int = 64,
@@ -113,8 +122,9 @@ def make_twin_config(
     lr_probe: float = 3.0e-3,
 ) -> Dict[str, Any]:
     """One config dict BOTH frameworks parse (the schemas intentionally
-    match, core/config.py)."""
-    return {
+    match, core/config.py).  variant: 'pqgo' (flagship, quantized) or
+    'stego' (STEGO baseline family, dino_stego.py:11-66)."""
+    cfg = {
         "seed": 0,
         "num_classes": num_classes,
         "dataset_name": "cocostuff27",
@@ -175,6 +185,23 @@ def make_twin_config(
                   "print_interval_iters": 1000,
                   "valid_interval_iters": 100000},
     }
+    cfg["model"]["name"] = variant
+    if variant == "stego":
+        # head/code dim the reference wrapper sizes its evaluator with
+        # (StegoWrapper.py:28-33)
+        cfg["model"]["pretrained"]["dim"] = embed_dim
+        # the reference's STEGO model reads the loss knobs directly off
+        # cfg['loss'] (dino_stego.py:25 STEGOLoss(cfg['loss']), keys used
+        # flat, loss.py:682-708); our side reads loss['stego'] — expose
+        # the SAME values both ways
+        cfg["loss"].update(cfg["loss"]["stego"])
+        # no quantizer: a configured vq_weight without a vq-loss aux key
+        # fails loudly in the Trainer (trainer.py:209-226)
+        cfg["loss"].pop("vq_weight", None)
+        # probes see the code map, not a quantized output
+        # (StegoWrapper.py:50-53)
+        cfg["eval"]["output_type"] = "feat"
+    return cfg
 
 
 def stego_samples(rng: np.random.RandomState, b: int, fs: int,
@@ -198,15 +225,16 @@ def stego_samples(rng: np.random.RandomState, b: int, fs: int,
 class TorchTwin:
     """The reference model/wrapper driven by train.py's step recipe."""
 
-    def __init__(self, cfg: Dict[str, Any], seed: int = 0):
+    def __init__(self, cfg: Dict[str, Any], seed: int = 0,
+                 variant: str = "pqgo"):
         import_reference()
         import torch
 
         import model.dino.vision_transformer as vits
-        from model.dino_pqgo import DIONPQGO
-        from wrapper.PQGOWrapper import PQGOWrapper
 
         self.torch = torch
+        self.variant = variant
+        self.loss_keys = TWIN_LOSS_KEYS[variant]
         torch.manual_seed(seed)
         # random-init backbone saved to a local .pth: DinoFeaturizer
         # downloads from the internet when no path is given (no egress
@@ -219,8 +247,23 @@ class TorchTwin:
         torch.save({"teacher": bb.state_dict()}, self._pth)
         ref_model_cfg = dict(cfg["model"], pretrained=dict(
             pre, pretrained_weights=self._pth))
-        self.model = DIONPQGO(ref_model_cfg, cfg["loss"])
-        self.wrapper = PQGOWrapper(cfg, self.model)
+        if variant == "stego":
+            from model.dino_stego import DINOStego
+            from wrapper.StegoWrapper import StegoWrapper
+
+            ref_cfg = dict(cfg, model=ref_model_cfg)
+            self.model = DINOStego(ref_cfg)
+            # DINOStego hardcodes Dropout2d(p=.1) (dino_stego.py:19)
+            # with no config gate — disable it for determinism (our
+            # side runs dropout=False)
+            self.model.dropout = torch.nn.Identity()
+            self.wrapper = StegoWrapper(ref_cfg, self.model)
+        else:
+            from model.dino_pqgo import DIONPQGO
+            from wrapper.PQGOWrapper import PQGOWrapper
+
+            self.model = DIONPQGO(ref_model_cfg, cfg["loss"])
+            self.wrapper = PQGOWrapper(cfg, self.model)
         self.clip = float(cfg["train"]["clip_grad"])
 
         opt = cfg["optimizer"]
@@ -244,7 +287,10 @@ class TorchTwin:
         import torch
         from model.loss import sample as ref_sample
 
-        inner = self.model.stego_loss
+        # DINOStego names its loss module corr_loss (dino_stego.py:25);
+        # DIONPQGO names it stego_loss (dino_pqgo.py:94)
+        attr = "corr_loss" if self.variant == "stego" else "stego_loss"
+        inner = getattr(self.model, attr)
         holder: Dict[str, Any] = {}
         self._stego_holder = holder
 
@@ -272,7 +318,7 @@ class TorchTwin:
                         + cfg["pos_inter_weight"] * pos_inter.mean()
                         + cfg["neg_inter_weight"] * neg_inter.mean())
 
-        self.model.stego_loss = _Injected()
+        setattr(self.model, attr, _Injected())
 
     # -- helpers ------------------------------------------------------------
     def to_torch_img(self, img_nhwc_norm: np.ndarray):
@@ -304,13 +350,11 @@ class TorchTwin:
             max_norm=self.clip)
         for o in self.opts:
             o.step()
-        return {
-            "loss": float(total.detach()),
-            "stego-loss": float(output["stego-loss"].detach()),
-            "vq-loss": float(output["vq-loss"].detach()),
-            "linear-loss": float(output["linear-loss"].detach()),
-            "cluster-loss": float(output["cluster-loss"].detach()),
-        }
+        out = {"loss": float(total.detach())}
+        for k in self.loss_keys:
+            if k != "loss":
+                out[k] = float(output[k].detach())
+        return out
 
     def validate(self, val_batches, num_classes: int,
                  extra_classes: int = 0) -> Dict[str, float]:
@@ -377,28 +421,28 @@ def transplant_weights(torch_twin: TorchTwin, trainer, ts) -> Dict[str, Any]:
     m = torch_twin.model
     backbone = convert_dino_torch_state(
         torch_twin.backbone_state_dict(), trainer.model.vit_cfg)
+    # both DIONPQGO (dino_pqgo.py:104-112) and DINOStego
+    # (dino_stego.py:22-43) expose the identical two-branch head
     head = {
         "cluster1": conv1x1_to_dense(m.cluster1[0]),
         "cluster2_fc1": conv1x1_to_dense(m.cluster2[0]),
         "cluster2_fc2": conv1x1_to_dense(m.cluster2[2]),
     }
-    vq0 = m.vq_blocks[0]
-    if hasattr(vq0, "quantizers"):
-        codebook = jnp.stack([arr(q.embedding.weight)
-                              for q in vq0.quantizers])
-    else:
-        codebook = arr(vq0.embedding.weight)[None]
+    new_params = dict(ts["params"], backbone=backbone, head=head)
+    if hasattr(m, "vq_blocks") and "pq" in ts["params"]:
+        vq0 = m.vq_blocks[0]
+        if hasattr(vq0, "quantizers"):
+            codebook = jnp.stack([arr(q.embedding.weight)
+                                  for q in vq0.quantizers])
+        else:
+            codebook = arr(vq0.embedding.weight)[None]
+        new_params["pq"] = dict(ts["params"]["pq"], codebook=codebook)
     ev = torch_twin.wrapper.evaluator
     probes = {
         "linear_probe": {"linear": conv1x1_to_dense(ev.linear_probe)},
         "cluster_probe": {"clusters": arr(ev.cluster_probe.clusters)},
     }
-    new_ts = dict(
-        ts,
-        params=dict(ts["params"], backbone=backbone, head=head,
-                    pq=dict(ts["params"]["pq"], codebook=codebook)),
-        probe_params=probes,
-    )
+    new_ts = dict(ts, params=new_params, probe_params=probes)
     return replicate(trainer.mesh, new_ts)
 
 
@@ -449,22 +493,24 @@ def run_twin_training(
     batch_size: int = 4,
     res: int = 64,
     seed: int = 0,
+    variant: str = "pqgo",
     cfg_overrides: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """Train both twins from identical weights on an identical corpus.
 
     Returns {'steps': [per-step {jax: {...}, ref: {...}}],
-             'final': {'jax': metrics, 'ref': metrics}}.
+             'final': {'jax': metrics, 'ref': metrics},
+             'loss_keys': the per-variant keys compared}.
     """
     from equss_tpu.parallel.mesh import make_mesh
     from equss_tpu.train.trainer import Trainer
 
-    cfg = make_twin_config(**(cfg_overrides or {}))
+    cfg = make_twin_config(variant=variant, **(cfg_overrides or {}))
     stego = cfg["loss"]["stego"]
     fs, neg = stego["feature_samples"], stego["neg_samples"]
     nc = cfg["num_classes"]
 
-    ref = TorchTwin(cfg, seed=seed)
+    ref = TorchTwin(cfg, seed=seed, variant=variant)
     trainer = Trainer(cfg, mesh=make_mesh(1))
     ts = trainer.init_state(jax.random.PRNGKey(seed), img_hw=(res, res))
     ts = transplant_weights(ref, trainer, ts)
@@ -484,16 +530,15 @@ def run_twin_training(
             "stego_perms": perms.astype(np.int32),
         }
         ts, metrics = trainer.train_step(ts, jb)
-        jm = {k: float(metrics[k]) for k in
-              ("loss", "stego-loss", "vq-loss", "linear-loss")}
-        jm["cluster-loss"] = float(metrics["cluster-loss"])
+        jm = {k: float(metrics[k]) for k in TWIN_LOSS_KEYS[variant]}
         rm = ref.step(batch["img_norm"], batch["img_pos_norm"],
                       batch["label"], (c1, c2, perms))
         steps.append({"jax": jm, "ref": rm})
 
     jax_final = trainer.validate(ts, iter(val))
     ref_final = ref.validate(val, nc)
-    return {"steps": steps, "final": {"jax": jax_final, "ref": ref_final}}
+    return {"steps": steps, "final": {"jax": jax_final, "ref": ref_final},
+            "loss_keys": list(TWIN_LOSS_KEYS[variant])}
 
 
 def run_dump_protocol(

@@ -45,3 +45,29 @@ def test_dump_protocol_small_shape():
     dump = run_dump_protocol(embed_dim=64, num_pq=8, num_codebook=32,
                              res=64, batch=2)
     assert dump["agreement"] == 1.0, dump["agreement"]
+
+
+@pytest.fixture(scope="module")
+def stego_twin_result():
+    from equss_tpu.parity.twin import run_twin_training
+
+    return run_twin_training(n_steps=8, batch_size=4, res=64, seed=0,
+                             variant="stego")
+
+
+def test_stego_twin_loss_trajectories_match(stego_twin_result):
+    """Second model family (STEGO baseline, dino_stego.py:11-66 +
+    StegoWrapper.py): same twin protocol, no quantizer in the loop."""
+    for i, s in enumerate(stego_twin_result["steps"]):
+        for k in stego_twin_result["loss_keys"]:
+            a, b = s["jax"][k], s["ref"][k]
+            rel = abs(a - b) / (abs(b) + 1e-6)
+            assert rel < 1e-3, (i, k, a, b, rel)
+
+
+def test_stego_twin_final_miou_matches(stego_twin_result):
+    ja, ref = (stego_twin_result["final"]["jax"],
+               stego_twin_result["final"]["ref"])
+    for k in ("Cluster_mIoU", "Cluster_Accuracy", "Linear_mIoU",
+              "Linear_Accuracy"):
+        assert abs(ja[k] - ref[k]) < 0.1, (k, ja[k], ref[k])
