@@ -20,8 +20,11 @@ def _kl_batchmean_logtarget(log_input: jnp.ndarray, log_target: jnp.ndarray) -> 
 
 
 def jsd_loss(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """Jensen-Shannon divergence between prob rows (loss.py:508-525)."""
-    log_m = jnp.log(0.5 * (p + q) + 1e-6)
+    """Jensen-Shannon divergence between prob rows (loss.py:508-525).
+
+    NB the reference's ``(0.5 * (p + q).add(1e-6)).log()`` binds the
+    eps INSIDE the halving — m = log(0.5*(p+q) + 5e-7), not + 1e-6."""
+    log_m = jnp.log(0.5 * ((p + q) + 1e-6))
     log_p = jnp.log(p + 1e-6)
     log_q = jnp.log(q + 1e-6)
     return 0.5 * (

@@ -1,7 +1,8 @@
 """Twin-training accuracy-parity harness.
 
-Trains the SAME configuration (flagship pqgo, or the STEGO baseline
-family via ``variant='stego'``) in BOTH frameworks — the torch
+Trains the SAME configuration (flagship pqgo, the STEGO baseline family
+via ``variant='stego'``, or the train_vq.py soft-PQ family via
+``variant='spq'``) in BOTH frameworks — the torch
 reference at /root/reference (imported as an oracle, never copied) and
 this framework's own Trainer — from identical weights on an identical
 miniature corpus, with every stochastic knob either disabled or fed
@@ -100,10 +101,12 @@ def import_reference():
 # shared configuration
 # --------------------------------------------------------------------------
 
-#: per-variant loss keys compared step-by-step (stego has no quantizer)
+#: per-variant loss keys compared step-by-step (stego has no quantizer;
+#: spq's objective is jsd-only per its reference config, spq_baseline.yaml)
 TWIN_LOSS_KEYS = {
     "pqgo": ("loss", "stego-loss", "vq-loss", "linear-loss", "cluster-loss"),
     "stego": ("loss", "stego-loss", "linear-loss", "cluster-loss"),
+    "spq": ("loss", "jsd", "linear-loss", "cluster-loss"),
 }
 
 
@@ -201,6 +204,20 @@ def make_twin_config(
         # probes see the code map, not a quantized output
         # (StegoWrapper.py:50-53)
         cfg["eval"]["output_type"] = "feat"
+    elif variant == "spq":
+        # the VQ-trainer family (train_vq.py + NewVQWrapper + DINOSPQ):
+        # jsd-only objective per spq_baseline.yaml:50-55; every other
+        # weight present-but-zero because the wrapper reads them
+        # unconditionally (NewVQWrapper.py:28-32)
+        cfg["model"]["vq"]["use_kmeans_sampling"] = False
+        cfg["loss"].pop("stego_weight", None)
+        cfg["loss"].update({
+            "recon_weight": 0.0, "vq_weight": 0.0, "info_nce_weight": 0.0,
+            "jsd_weight": 1.0, "margin_weight": 0.0,
+            "info_nce": {"normalize": "l2", "neg_sample": 2,
+                         "temperature": 1.0, "cal_type": "cosine"},
+            "jsd": {"temperature": 1.0, "entropy_weight": 0.0},
+        })
     return cfg
 
 
@@ -258,6 +275,13 @@ class TorchTwin:
             # side runs dropout=False)
             self.model.dropout = torch.nn.Identity()
             self.wrapper = StegoWrapper(ref_cfg, self.model)
+        elif variant == "spq":
+            from model.dino_spq import DINOSPQ
+            from wrapper.NewVQWrapper import DINONewVQWrapper
+
+            ref_cfg = dict(cfg, model=ref_model_cfg)
+            self.model = DINOSPQ(ref_model_cfg, cfg["loss"])
+            self.wrapper = DINONewVQWrapper(ref_cfg, self.model)
         else:
             from model.dino_pqgo import DIONPQGO
             from wrapper.PQGOWrapper import PQGOWrapper
@@ -277,7 +301,8 @@ class TorchTwin:
             mk(self.wrapper.evaluator.linear_probe.parameters(),
                opt["linear"]),
         ]
-        self._install_stego_shim()
+        if variant != "spq":                  # spq has no STEGO loss
+            self._install_stego_shim()
 
     # -- identical-draw injection ------------------------------------------
     def _install_stego_shim(self):
@@ -326,24 +351,34 @@ class TorchTwin:
             np.ascontiguousarray(img_nhwc_norm.transpose(0, 3, 1, 2)))
 
     def step(self, img, img_pos, label,
-             samples: Tuple[np.ndarray, ...]) -> Dict[str, float]:
-        """One train step (train.py:74-100: forward, backward, clip on
-        model params, three Adam steps).  img/img_pos are normalized
-        NHWC numpy; label int numpy."""
+             samples: Optional[Tuple[np.ndarray, ...]] = None,
+             aug_img: Optional[np.ndarray] = None,
+             it: int = 0) -> Dict[str, float]:
+        """One train step (train.py:74-100 / train_vq.py:63-105:
+        zero_grad, wrapper forward, backward, clip on model params,
+        three Adam steps).  img and the second view (img_pos for the
+        STEGO families, aug_img for spq) are normalized NHWC numpy;
+        label int numpy."""
         torch = self.torch
         self.wrapper.train()
-        self._stego_holder["samples"] = (
-            torch.from_numpy(samples[0]),
-            torch.from_numpy(samples[1]),
-            torch.from_numpy(samples[2]),
-        )
+        if samples is not None:
+            self._stego_holder["samples"] = (
+                torch.from_numpy(samples[0]),
+                torch.from_numpy(samples[1]),
+                torch.from_numpy(samples[2]),
+            )
         img_t = self.to_torch_img(img)
-        pos_t = self.to_torch_img(img_pos)
         label_t = torch.from_numpy(label).long()
         for o in self.opts:
             o.zero_grad(set_to_none=True)
-        total, output, _, _ = self.wrapper(
-            img=img_t, aug_img=img_t, label=label_t, img_pos=pos_t)
+        if self.variant == "spq":
+            total, output, _ = self.wrapper(
+                img=img_t, aug_img=self.to_torch_img(aug_img),
+                label=label_t, it=it)
+        else:
+            total, output, _, _ = self.wrapper(
+                img=img_t, aug_img=img_t, label=label_t,
+                img_pos=self.to_torch_img(img_pos))
         total.backward()
         torch.nn.utils.clip_grad_norm_(
             [p for p in self.model.parameters() if p.requires_grad],
@@ -373,8 +408,14 @@ class TorchTwin:
             for batch in val_batches:
                 img_t = self.to_torch_img(batch["img_norm"])
                 label_t = torch.from_numpy(batch["label"]).long()
-                _, _, (linear_preds, cluster_preds), _ = self.wrapper(
-                    img=img_t, aug_img=img_t, label=label_t)
+                if self.variant == "spq":
+                    # eval through cat(img, img): DINOSPQ.forward always
+                    # splits back to the first half (dino_spq.py:96-98)
+                    _, _, (linear_preds, cluster_preds) = self.wrapper(
+                        img=img_t, aug_img=img_t, label=label_t, it=0)
+                else:
+                    _, _, (linear_preds, cluster_preds), _ = self.wrapper(
+                        img=img_t, aug_img=img_t, label=label_t)
                 cluster_m.update(cluster_preds, label_t)
                 linear_m.update(linear_preds, label_t)
         # compute() mkdirs ./class_matrix under cwd (metric.py:99) — run
@@ -421,15 +462,21 @@ def transplant_weights(torch_twin: TorchTwin, trainer, ts) -> Dict[str, Any]:
     m = torch_twin.model
     backbone = convert_dino_torch_state(
         torch_twin.backbone_state_dict(), trainer.model.vit_cfg)
-    # both DIONPQGO (dino_pqgo.py:104-112) and DINOStego
-    # (dino_stego.py:22-43) expose the identical two-branch head
-    head = {
-        "cluster1": conv1x1_to_dense(m.cluster1[0]),
-        "cluster2_fc1": conv1x1_to_dense(m.cluster2[0]),
-        "cluster2_fc2": conv1x1_to_dense(m.cluster2[2]),
-    }
-    new_params = dict(ts["params"], backbone=backbone, head=head)
-    if hasattr(m, "vq_blocks") and "pq" in ts["params"]:
+    new_params = dict(ts["params"], backbone=backbone)
+    if hasattr(m, "cluster1"):
+        # both DIONPQGO (dino_pqgo.py:104-112) and DINOStego
+        # (dino_stego.py:22-43) expose the identical two-branch head
+        new_params["head"] = {
+            "cluster1": conv1x1_to_dense(m.cluster1[0]),
+            "cluster2_fc1": conv1x1_to_dense(m.cluster2[0]),
+            "cluster2_fc2": conv1x1_to_dense(m.cluster2[2]),
+        }
+    if hasattr(m, "enc_proj"):
+        # spq: 1x1-conv encoder + single (K, M*d) codebook parameter
+        # (dino_spq.py:30, :148-150)
+        new_params["enc"] = conv1x1_to_dense(m.enc_proj)
+        new_params["codebook"] = arr(m.vq_blocks[0].C)
+    elif hasattr(m, "vq_blocks") and "pq" in ts["params"]:
         vq0 = m.vq_blocks[0]
         if hasattr(vq0, "quantizers"):
             codebook = jnp.stack([arr(q.embedding.weight)
@@ -473,6 +520,9 @@ def make_corpus(seed: int, n_train: int, n_val: int, batch_size: int,
                 item["img_pos"] = b["img_pos"]
                 item["img_pos_norm"] = np.asarray(
                     normalize_images(jnp.asarray(b["img_pos"])))
+                item["aug_img"] = b["aug_img"]
+                item["aug_img_norm"] = np.asarray(
+                    normalize_images(jnp.asarray(b["aug_img"])))
             out.append(item)
         return out
 
@@ -522,17 +572,27 @@ def run_twin_training(
     steps = []
     for i in range(n_steps):
         batch = train[i % len(train)]
-        c1, c2, perms = stego_samples(draw_rng, batch_size, fs, neg)
-        jb = {
-            "img": batch["img"], "img_pos": batch["img_pos"],
-            "label": batch["label"],
-            "stego_coords1": c1, "stego_coords2": c2,
-            "stego_perms": perms.astype(np.int32),
-        }
-        ts, metrics = trainer.train_step(ts, jb)
+        if variant == "spq":
+            # the one stochastic input is the photometric second view —
+            # precomputed on the host and fed identically to both sides
+            # (our Trainer skips in-graph aug when aug_img is supplied)
+            jb = {"img": batch["img"], "aug_img": batch["aug_img"],
+                  "label": batch["label"]}
+            ts, metrics = trainer.train_step(ts, jb)
+            rm = ref.step(batch["img_norm"], None, batch["label"],
+                          aug_img=batch["aug_img_norm"], it=i)
+        else:
+            c1, c2, perms = stego_samples(draw_rng, batch_size, fs, neg)
+            jb = {
+                "img": batch["img"], "img_pos": batch["img_pos"],
+                "label": batch["label"],
+                "stego_coords1": c1, "stego_coords2": c2,
+                "stego_perms": perms.astype(np.int32),
+            }
+            ts, metrics = trainer.train_step(ts, jb)
+            rm = ref.step(batch["img_norm"], batch["img_pos_norm"],
+                          batch["label"], (c1, c2, perms))
         jm = {k: float(metrics[k]) for k in TWIN_LOSS_KEYS[variant]}
-        rm = ref.step(batch["img_norm"], batch["img_pos_norm"],
-                      batch["label"], (c1, c2, perms))
         steps.append({"jax": jm, "ref": rm})
 
     jax_final = trainer.validate(ts, iter(val))

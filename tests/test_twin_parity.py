@@ -71,3 +71,29 @@ def test_stego_twin_final_miou_matches(stego_twin_result):
     for k in ("Cluster_mIoU", "Cluster_Accuracy", "Linear_mIoU",
               "Linear_Accuracy"):
         assert abs(ja[k] - ref[k]) < 0.1, (k, ja[k], ref[k])
+
+
+@pytest.fixture(scope="module")
+def spq_twin_result():
+    from equss_tpu.parity.twin import run_twin_training
+
+    return run_twin_training(n_steps=8, batch_size=4, res=64, seed=0,
+                             variant="spq")
+
+
+def test_spq_twin_loss_trajectories_match(spq_twin_result):
+    """Third trainer family (train_vq.py: DINOSPQ + NewVQWrapper):
+    jsd-only objective, identical host aug view fed to both sides."""
+    for i, s in enumerate(spq_twin_result["steps"]):
+        for k in spq_twin_result["loss_keys"]:
+            a, b = s["jax"][k], s["ref"][k]
+            rel = abs(a - b) / (abs(b) + 1e-6)
+            assert rel < 1e-3, (i, k, a, b, rel)
+
+
+def test_spq_twin_final_miou_matches(spq_twin_result):
+    ja, ref = (spq_twin_result["final"]["jax"],
+               spq_twin_result["final"]["ref"])
+    for k in ("Cluster_mIoU", "Cluster_Accuracy", "Linear_mIoU",
+              "Linear_Accuracy"):
+        assert abs(ja[k] - ref[k]) < 0.1, (k, ja[k], ref[k])
