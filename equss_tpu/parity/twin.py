@@ -107,6 +107,9 @@ TWIN_LOSS_KEYS = {
     "pqgo": ("loss", "stego-loss", "vq-loss", "linear-loss", "cluster-loss"),
     "stego": ("loss", "stego-loss", "linear-loss", "cluster-loss"),
     "spq": ("loss", "jsd", "linear-loss", "cluster-loss"),
+    # sl: total IS the CE loss; stego-loss is computed-but-unused
+    # telemetry on both sides (SupervisedWrapper.py:40-47)
+    "sl": ("loss", "linear-loss", "stego-loss"),
 }
 
 
@@ -189,7 +192,20 @@ def make_twin_config(
                   "valid_interval_iters": 100000},
     }
     cfg["model"]["name"] = variant
-    if variant == "stego":
+    if variant == "sl":
+        # supervised family (sl_train.py + SupervisedWrapper): total IS
+        # the probe CE; the stego loss is computed but never added
+        # (SupervisedWrapper.py:45), and the probe itself is never in an
+        # optimizer (sl_train.py:412-416 builds ONLY the model opt) —
+        # mirrored here with linear lr=0 so our always-stepped probe
+        # receives zero updates
+        cfg["model"]["pretrained"]["dim"] = embed_dim
+        cfg["loss"].update(cfg["loss"]["stego"])
+        cfg["loss"].pop("vq_weight", None)
+        cfg["loss"].pop("stego_weight", None)
+        cfg["eval"]["output_type"] = "feat"
+        cfg["optimizer"]["linear"] = {"name": "adam", "lr": 0.0}
+    elif variant == "stego":
         # head/code dim the reference wrapper sizes its evaluator with
         # (StegoWrapper.py:28-33)
         cfg["model"]["pretrained"]["dim"] = embed_dim
@@ -275,6 +291,29 @@ class TorchTwin:
             # side runs dropout=False)
             self.model.dropout = torch.nn.Identity()
             self.wrapper = StegoWrapper(ref_cfg, self.model)
+        elif variant == "sl":
+            from model.dino_stego import DINOStego
+            from wrapper.SupervisedWrapper import SupervisedWrapper
+
+            ref_cfg = dict(cfg, model=ref_model_cfg)
+            self.model = DINOStego(ref_cfg)
+            self.model.dropout = torch.nn.Identity()
+            self.wrapper = SupervisedWrapper(ref_cfg, self.model)
+            # SupervisedWrapper.forward unpacks FOUR values from
+            # DINOStego, which returns three (SupervisedWrapper.py:40 vs
+            # dino_stego.py:66) — the reference's sl path crashes as
+            # shipped; pad the tuple so the oracle can run
+            class _Returns4(torch.nn.Module):
+                def __init__(self, m):
+                    super().__init__()
+                    self.m = m          # registered child: train()/eval()
+                                        # mode propagates through
+
+                def forward(self, *a, **k):
+                    f, c, o = self.m(*a, **k)
+                    return f, c, o, None
+
+            self.wrapper.model = _Returns4(self.model)
         elif variant == "spq":
             from model.dino_spq import DINOSPQ
             from wrapper.NewVQWrapper import DINONewVQWrapper
@@ -293,14 +332,22 @@ class TorchTwin:
         opt = cfg["optimizer"]
         mk = lambda ps, c: torch.optim.Adam(  # noqa: E731
             ps, lr=c["lr"], weight_decay=c.get("weight_decay", 0.0))
-        self.opts = [
-            mk([p for p in self.model.parameters() if p.requires_grad],
-               opt["model"]),
-            mk(self.wrapper.evaluator.cluster_probe.parameters(),
-               opt["cluster"]),
-            mk(self.wrapper.evaluator.linear_probe.parameters(),
-               opt["linear"]),
-        ]
+        if variant == "sl":
+            # sl_train.py:412-416: ONE optimizer, model params only —
+            # the wrapper's linear probe is never stepped
+            self.opts = [
+                mk([p for p in self.model.parameters() if p.requires_grad],
+                   opt["model"]),
+            ]
+        else:
+            self.opts = [
+                mk([p for p in self.model.parameters() if p.requires_grad],
+                   opt["model"]),
+                mk(self.wrapper.evaluator.cluster_probe.parameters(),
+                   opt["cluster"]),
+                mk(self.wrapper.evaluator.linear_probe.parameters(),
+                   opt["linear"]),
+            ]
         if variant != "spq":                  # spq has no STEGO loss
             self._install_stego_shim()
 
@@ -314,7 +361,8 @@ class TorchTwin:
 
         # DINOStego names its loss module corr_loss (dino_stego.py:25);
         # DIONPQGO names it stego_loss (dino_pqgo.py:94)
-        attr = "corr_loss" if self.variant == "stego" else "stego_loss"
+        attr = ("corr_loss" if self.variant in ("stego", "sl")
+                else "stego_loss")
         inner = getattr(self.model, attr)
         holder: Dict[str, Any] = {}
         self._stego_holder = holder
@@ -375,6 +423,12 @@ class TorchTwin:
             total, output, _ = self.wrapper(
                 img=img_t, aug_img=self.to_torch_img(aug_img),
                 label=label_t, it=it)
+        elif self.variant == "sl":
+            total, output, _ = self.wrapper(
+                img=img_t, aug_img=img_t, label=label_t,
+                img_pos=self.to_torch_img(img_pos))
+            # the CE the wrapper calls ce-loss is our linear-loss
+            output["linear-loss"] = output["ce-loss"]
         else:
             total, output, _, _ = self.wrapper(
                 img=img_t, aug_img=img_t, label=label_t,
@@ -413,10 +467,16 @@ class TorchTwin:
                     # splits back to the first half (dino_spq.py:96-98)
                     _, _, (linear_preds, cluster_preds) = self.wrapper(
                         img=img_t, aug_img=img_t, label=label_t, it=0)
+                elif self.variant == "sl":
+                    # supervised eval is linear-only (sl_train.py:330-331)
+                    _, _, linear_preds = self.wrapper(
+                        img=img_t, aug_img=img_t, label=label_t)
+                    cluster_preds = None
                 else:
                     _, _, (linear_preds, cluster_preds), _ = self.wrapper(
                         img=img_t, aug_img=img_t, label=label_t)
-                cluster_m.update(cluster_preds, label_t)
+                if cluster_preds is not None:
+                    cluster_m.update(cluster_preds, label_t)
                 linear_m.update(linear_preds, label_t)
         # compute() mkdirs ./class_matrix under cwd (metric.py:99) — run
         # it from a temp dir so the side effect stays out of the repo
@@ -424,16 +484,19 @@ class TorchTwin:
         with tempfile.TemporaryDirectory() as td:
             try:
                 os.chdir(td)
-                c = cluster_m.compute(prefix="twin")
+                c = (None if self.variant == "sl"
+                     else cluster_m.compute(prefix="twin"))
                 li = linear_m.compute(prefix="twin")
             finally:
                 os.chdir(old)
-        return {
-            "Cluster_mIoU": float(c["iou"]),
-            "Cluster_Accuracy": float(c["accuracy"]),
+        res = {
             "Linear_mIoU": float(li["iou"]),
             "Linear_Accuracy": float(li["accuracy"]),
         }
+        if c is not None:
+            res["Cluster_mIoU"] = float(c["iou"])
+            res["Cluster_Accuracy"] = float(c["accuracy"])
+        return res
 
     def backbone_state_dict(self):
         return self.model.extractor.backbone.state_dict()
@@ -484,11 +547,17 @@ def transplant_weights(torch_twin: TorchTwin, trainer, ts) -> Dict[str, Any]:
         else:
             codebook = arr(vq0.embedding.weight)[None]
         new_params["pq"] = dict(ts["params"]["pq"], codebook=codebook)
-    ev = torch_twin.wrapper.evaluator
-    probes = {
-        "linear_probe": {"linear": conv1x1_to_dense(ev.linear_probe)},
-        "cluster_probe": {"clusters": arr(ev.cluster_probe.clusters)},
-    }
+    if hasattr(torch_twin.wrapper, "evaluator"):
+        ev = torch_twin.wrapper.evaluator
+        probes = {
+            "linear_probe": {"linear": conv1x1_to_dense(ev.linear_probe)},
+            "cluster_probe": {"clusters": arr(ev.cluster_probe.clusters)},
+        }
+    else:
+        # SupervisedWrapper carries a bare LinearProbe, no cluster probe
+        # (SupervisedWrapper.py:29, :50-58)
+        probes = {"linear_probe": {"linear": conv1x1_to_dense(
+            torch_twin.wrapper.linear_probe.linear_probe)}}
     new_ts = dict(ts, params=new_params, probe_params=probes)
     return replicate(trainer.mesh, new_ts)
 

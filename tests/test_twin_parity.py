@@ -97,3 +97,28 @@ def test_spq_twin_final_miou_matches(spq_twin_result):
     for k in ("Cluster_mIoU", "Cluster_Accuracy", "Linear_mIoU",
               "Linear_Accuracy"):
         assert abs(ja[k] - ref[k]) < 0.1, (k, ja[k], ref[k])
+
+
+@pytest.fixture(scope="module")
+def sl_twin_result():
+    from equss_tpu.parity.twin import run_twin_training
+
+    return run_twin_training(n_steps=8, batch_size=4, res=64, seed=0,
+                             variant="sl")
+
+
+def test_sl_twin_loss_trajectories_match(sl_twin_result):
+    """Fourth trainer family (sl_train.py: SupervisedWrapper over
+    DINOStego, single model optimizer, probe never stepped)."""
+    for i, s in enumerate(sl_twin_result["steps"]):
+        for k in sl_twin_result["loss_keys"]:
+            a, b = s["jax"][k], s["ref"][k]
+            rel = abs(a - b) / (abs(b) + 1e-6)
+            assert rel < 1e-3, (i, k, a, b, rel)
+
+
+def test_sl_twin_final_miou_matches(sl_twin_result):
+    ja, ref = (sl_twin_result["final"]["jax"],
+               sl_twin_result["final"]["ref"])
+    for k in ("Linear_mIoU", "Linear_Accuracy"):
+        assert abs(ja[k] - ref[k]) < 0.1, (k, ja[k], ref[k])
