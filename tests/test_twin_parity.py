@@ -16,7 +16,7 @@ import pytest
 def twin_result():
     from equss_tpu.parity.twin import run_twin_training
 
-    return run_twin_training(n_steps=8, batch_size=4, res=64, seed=0)
+    return run_twin_training(n_steps=5, batch_size=4, res=48, seed=0)
 
 
 def test_per_step_loss_trajectories_match(twin_result):
@@ -43,7 +43,7 @@ def test_dump_protocol_small_shape():
     from equss_tpu.parity.twin import run_dump_protocol
 
     dump = run_dump_protocol(embed_dim=64, num_pq=8, num_codebook=32,
-                             res=64, batch=2)
+                             res=48, batch=1)
     assert dump["agreement"] == 1.0, dump["agreement"]
 
 
@@ -51,7 +51,7 @@ def test_dump_protocol_small_shape():
 def stego_twin_result():
     from equss_tpu.parity.twin import run_twin_training
 
-    return run_twin_training(n_steps=8, batch_size=4, res=64, seed=0,
+    return run_twin_training(n_steps=5, batch_size=2, res=48, seed=0,
                              variant="stego")
 
 
@@ -77,7 +77,7 @@ def test_stego_twin_final_miou_matches(stego_twin_result):
 def spq_twin_result():
     from equss_tpu.parity.twin import run_twin_training
 
-    return run_twin_training(n_steps=8, batch_size=4, res=64, seed=0,
+    return run_twin_training(n_steps=5, batch_size=2, res=48, seed=0,
                              variant="spq")
 
 
@@ -103,7 +103,7 @@ def test_spq_twin_final_miou_matches(spq_twin_result):
 def sl_twin_result():
     from equss_tpu.parity.twin import run_twin_training
 
-    return run_twin_training(n_steps=8, batch_size=4, res=64, seed=0,
+    return run_twin_training(n_steps=5, batch_size=2, res=48, seed=0,
                              variant="sl")
 
 
