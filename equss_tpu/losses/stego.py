@@ -33,6 +33,15 @@ class StegoLossConfig:
     neg_samples: int = 5
 
 
+#: grid_sample routes small queries to the bilinear-weight matmul
+#: (MXU) and everything else to the 4-corner gather.  Per-item weight
+#: matrix cap (q * H*W) and batched-transient cap (b * q * H*W, 64 MB
+#: of f32 weights + ~4x one-hot build intermediates).  Module-level so
+#: tests can force either path.
+_MATMUL_MAX_QHW = 2 ** 22
+_MATMUL_MAX_BQHW = 2 ** 24
+
+
 def grid_sample(t: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Bilinear grid-sample, border padding, align_corners=True.
 
@@ -60,7 +69,8 @@ def grid_sample(t: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
     y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
 
-    if hq * wq * H * W <= 2 ** 22:
+    if (hq * wq * H * W <= _MATMUL_MAX_QHW
+            and b * hq * wq * H * W <= _MATMUL_MAX_BQHW):
         # one-hot bilinear-WEIGHT matmul: the four corner gathers (and,
         # in training, their backward scatter-adds) are DMA-bound on
         # TPU — profiled ~4.5 ms of the 41 ms pqgo b=16 train step
@@ -69,8 +79,10 @@ def grid_sample(t: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
         # Weight products (1-wx)(1-wy) etc. associate differently than
         # the reference's two-stage lerp, a ~1-ulp relative difference
         # (oracle test tolerance 1e-4).  Falls back to the gather form
-        # for large query/source products where the weight matrix would
-        # not be small.
+        # when the per-item weight matrix is large (FLOPs no longer
+        # cheaper than the DMA they replace) OR the batched matrix +
+        # its one-hot build intermediates would be a big transient
+        # (both gates: the second bounds the b axis the first ignores).
         q = hq * wq
         iota = jnp.arange(H * W)
         wmat = jnp.zeros((b, q, H * W), jnp.float32)

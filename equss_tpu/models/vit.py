@@ -136,16 +136,30 @@ class FusedLayerNorm(nn.Module):
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        # nn.LayerNorm computes f32 stats on the UNCAST input; a silent
+        # astype here would round an f32 stream to bf16 before the
+        # stats, a numerics divergence no caller should get implicitly —
+        # the kernels are bf16-in/f32-stats, so demand bf16 loudly
+        for name, v in (("x", x), ("y", y)):
+            if v is not None and v.dtype != self.dtype:
+                raise TypeError(
+                    f"FusedLayerNorm({self.dtype}) got {name} of dtype "
+                    f"{v.dtype}; cast explicitly (stats semantics differ "
+                    f"from nn.LayerNorm for wider inputs)")
         if y is None:
-            return fused_layernorm(x.astype(self.dtype), scale, bias,
-                                   self.epsilon)
-        return fused_add_layernorm(x.astype(self.dtype),
-                                   y.astype(self.dtype), scale, bias,
-                                   self.epsilon)
+            return fused_layernorm(x, scale, bias, self.epsilon)
+        return fused_add_layernorm(x, y, scale, bias, self.epsilon)
+
+
+def _use_fused_ln(cfg: ViTConfig) -> bool:
+    """Single source of truth for the fused-LN gate — Block's pending-
+    residual threading is only valid when _layer_norm returns a
+    FusedLayerNorm, so both MUST branch on this same predicate."""
+    return cfg.fused_ln and cfg.dtype == jnp.bfloat16
 
 
 def _layer_norm(cfg: ViTConfig, name: str):
-    if cfg.fused_ln and cfg.dtype == jnp.bfloat16:
+    if _use_fused_ln(cfg):
         return FusedLayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name=name)
     return nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name=name)
 
@@ -229,7 +243,7 @@ class Block(nn.Module):
                  want_attn: bool = False,
                  n_real: Optional[int] = None):
         cfg = self.cfg
-        if cfg.fused_ln and cfg.dtype == jnp.bfloat16:
+        if _use_fused_ln(cfg):
             ln1 = FusedLayerNorm(cfg.ln_eps, cfg.dtype, name="norm1")
             ln2 = FusedLayerNorm(cfg.ln_eps, cfg.dtype, name="norm2")
             if pending is None:
@@ -339,13 +353,14 @@ class VisionTransformer(nn.Module):
             if cfg.depth - i <= n_last:
                 if pending is None:
                     feats.append(final_ln(x[:, :n_tokens]))
-                elif isinstance(final_ln, FusedLayerNorm):
+                else:
+                    # pending is produced ONLY under _use_fused_ln, the
+                    # same gate that made final_ln a FusedLayerNorm —
                     # fold the block's pending MLP residual into the
                     # final norm's add+LN kernel
+                    assert isinstance(final_ln, FusedLayerNorm)
                     feats.append(final_ln(x[:, :n_tokens],
                                           pending[:, :n_tokens])[1])
-                else:
-                    feats.append(final_ln((x + pending)[:, :n_tokens]))
                 if want_attn:
                     attns.append(attn)
 

@@ -413,9 +413,12 @@ def pq_forward(
     # kernel's FLAT (n, D) outputs — the (n, M, d) layout XLA would pick
     # for them pads d=16 to 128 lanes and costs ~8x the HBM traffic.
     if cfg.use_pallas == "auto":
-        # per-element dist bytes: f32 exact / bf16 fast; the XLA path
-        # additionally materializes a same-shape one-hot for the gather,
-        # so its working set is ~2x this
+        # per-element dist bytes: f32 exact / bf16 fast.  Only ONE
+        # (n, M, K) tensor is live at a time on the XLA path (dist dies
+        # at the argmin before the gather's one-hot is built — measured
+        # alive at a 12.3 GB dist tensor, PERF.md #10), so the gate
+        # compares 1x dist bytes against pallas_auto_bytes (~13 GB,
+        # just under the 16 GB HBM wall)
         elt = 2 if cfg.assign_precision == "bf16" else 4
         want_pallas = n * M * K * elt > cfg.pallas_auto_bytes
     else:

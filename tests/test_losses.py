@@ -40,6 +40,28 @@ def test_grid_sample_matches_torch():
     np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), rtol=1e-4, atol=1e-5)
 
 
+def test_grid_sample_gather_path_matches_torch(monkeypatch):
+    """Force the large-shape 4-corner-gather branch (the default shapes
+    all take the bilinear-weight matmul fast path) and oracle-check it
+    too — both routes must stay torch-exact."""
+    import equss_tpu.losses.stego as stego_mod
+
+    monkeypatch.setattr(stego_mod, "_MATMUL_MAX_QHW", 0)
+    rng = np.random.RandomState(3)
+    t = rng.randn(2, 7, 9, 3).astype(np.float32)
+    coords = (rng.rand(2, 5, 4, 2).astype(np.float32) * 2 - 1) * 1.2
+
+    out_j = stego_mod.grid_sample(jnp.asarray(t), jnp.asarray(coords))
+
+    t_t = torch.from_numpy(t).permute(0, 3, 1, 2)
+    out_t = F.grid_sample(
+        t_t, torch.from_numpy(coords), mode="bilinear",
+        padding_mode="border", align_corners=True,
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_tensor_correlation_matches_torch():
     rng = np.random.RandomState(1)
     a = rng.randn(2, 4, 5, 3).astype(np.float32)

@@ -319,7 +319,7 @@ def test_use_pallas_auto_threshold(monkeypatch):
     base = dict(num_pq=2, num_codebook=128, embed_dim=16, vq_type="param",
                 normalize="l2")
 
-    cfg = PQConfig(use_pallas="auto", **base)         # default 7 GB gate
+    cfg = PQConfig(use_pallas="auto", **base)         # default 13 GB gate
     params, state = pq_init(key, cfg)
     _, idx_xla, _, _ = pq_forward(z, params, state, cfg, training=False)
     assert calls == []
