@@ -46,11 +46,15 @@ def _attn_kernel(scale: float, n_real: int, q_ref, k_ref, v_ref, o_ref):
         logits = jnp.where(mask, logits, -1e30)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    # normalization deferred PAST the value dot: dividing the (bq, hd)
+    # output costs hd/nk as much VPU work as dividing the (bq, nk)
+    # probabilities, and the f32 post-dot divide is numerically tighter
+    # than normalizing before the bf16 probability cast
+    r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
         p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) * r
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -126,11 +130,15 @@ def _attn_qkv_kernel(H: int, C: int, hd: int, scale: float, n_real: int,
             logits = jnp.where(mask, logits, -1e30)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        # normalize the (bq, hd) OUTPUT, not the (bq, npad)
+        # probabilities — same softmax, hd/npad as much divide work,
+        # and the f32 post-dot scale is tighter than normalizing
+        # before the bf16 probability cast (see _attn_kernel)
+        r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
         out = jax.lax.dot_general(
             p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) * r
         o_ref[0, :, h * hd:(h + 1) * hd] = out.astype(o_ref.dtype)
 
 

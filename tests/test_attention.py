@@ -25,9 +25,11 @@ def test_fused_attention_matches_xla(shape):
         jnp.einsum("bhnm,bmhd->bnhd", attn.astype(jnp.bfloat16), v),
         np.float32)
     assert not np.isnan(out).any()
-    # identical up to one bf16 ulp (the kernel accumulates logits in f32,
-    # strictly tighter than the bf16-logit XLA path it replaces)
-    np.testing.assert_allclose(out, ref, atol=3e-3)
+    # a few bf16 ulps: the kernel accumulates logits in f32 (tighter
+    # than the bf16-logit XLA path it replaces) but normalizes AFTER
+    # the bf16 probability dot (ops/attention.py) — the probabilities
+    # round at a different point than this pre-normalized reference
+    np.testing.assert_allclose(out, ref, atol=1.2e-2)
 
 
 def test_vit_fused_attention_agrees_at_long_seq():
@@ -71,7 +73,8 @@ def test_fused_attention_qkv_matches_xla(shape):
         jnp.einsum("bhnm,bmhd->bnhd", attn.astype(jnp.bfloat16), v),
         np.float32).reshape(B, N, C)
     assert not np.isnan(out).any()
-    np.testing.assert_allclose(out, ref, atol=3e-3)
+    # tolerance rationale: see test_fused_attention_matches_xla
+    np.testing.assert_allclose(out, ref, atol=1.2e-2)
 
 
 def test_fused_layernorm_matches_flax():
