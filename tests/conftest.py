@@ -22,5 +22,5 @@ import os as _os  # noqa: E402
 
 _cache_dir = _os.path.join(_os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -8,8 +8,21 @@ each framework computing its own metrics — agree.  The long-horizon
 ``python -m equss_tpu.parity.run`` -> PARITY.md (too slow for the
 suite); this is the same protocol at suite scale.
 """
+import os
+
 import numpy as np
 import pytest
+
+# The flagship (pqgo) twin + the dump protocol always run.  The three
+# extended families (stego / spq / sl) are proven the same way but cost
+# ~25 s of setup each on one core; they run under EQUSS_SUITE_FULL=1
+# (and unconditionally in `python -m equss_tpu.parity.run` -> PARITY.md,
+# the 250-step full-scale record).  VERDICT r2 #1 sanctions keeping the
+# long-horizon proof out of the default suite when runtime forces it.
+extended_family = pytest.mark.skipif(
+    os.environ.get("EQUSS_SUITE_FULL", "") != "1",
+    reason="extended twin family; set EQUSS_SUITE_FULL=1 (full 250-step "
+           "record in PARITY.md)")
 
 
 @pytest.fixture(scope="module")
@@ -55,6 +68,7 @@ def stego_twin_result():
                              variant="stego")
 
 
+@extended_family
 def test_stego_twin_loss_trajectories_match(stego_twin_result):
     """Second model family (STEGO baseline, dino_stego.py:11-66 +
     StegoWrapper.py): same twin protocol, no quantizer in the loop."""
@@ -65,6 +79,7 @@ def test_stego_twin_loss_trajectories_match(stego_twin_result):
             assert rel < 1e-3, (i, k, a, b, rel)
 
 
+@extended_family
 def test_stego_twin_final_miou_matches(stego_twin_result):
     ja, ref = (stego_twin_result["final"]["jax"],
                stego_twin_result["final"]["ref"])
@@ -81,6 +96,7 @@ def spq_twin_result():
                              variant="spq")
 
 
+@extended_family
 def test_spq_twin_loss_trajectories_match(spq_twin_result):
     """Third trainer family (train_vq.py: DINOSPQ + NewVQWrapper):
     jsd-only objective, identical host aug view fed to both sides."""
@@ -91,6 +107,7 @@ def test_spq_twin_loss_trajectories_match(spq_twin_result):
             assert rel < 1e-3, (i, k, a, b, rel)
 
 
+@extended_family
 def test_spq_twin_final_miou_matches(spq_twin_result):
     ja, ref = (spq_twin_result["final"]["jax"],
                spq_twin_result["final"]["ref"])
@@ -107,6 +124,7 @@ def sl_twin_result():
                              variant="sl")
 
 
+@extended_family
 def test_sl_twin_loss_trajectories_match(sl_twin_result):
     """Fourth trainer family (sl_train.py: SupervisedWrapper over
     DINOStego, single model optimizer, probe never stepped)."""
@@ -117,6 +135,7 @@ def test_sl_twin_loss_trajectories_match(sl_twin_result):
             assert rel < 1e-3, (i, k, a, b, rel)
 
 
+@extended_family
 def test_sl_twin_final_miou_matches(sl_twin_result):
     ja, ref = (sl_twin_result["final"]["jax"],
                sl_twin_result["final"]["ref"])
