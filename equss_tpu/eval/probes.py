@@ -85,6 +85,15 @@ class ClusterProbe(nn.Module):
             probs = jax.nn.softmax(inner * alpha, axis=-1)
         loss = -jnp.mean(jnp.sum(probs * inner, axis=-1))
         if log_probs:
+            if alpha is None:
+                # the reference only combines log-prob output (its CRF
+                # branch) with the softmax path (evaluator.py:99-104);
+                # alpha=None means hard assignment, which has no finite
+                # log-probs — fail at trace time instead of `inner*None`
+                raise ValueError(
+                    "ClusterProbe(log_probs=True) requires a finite "
+                    "alpha; alpha=None selects the hard-assignment "
+                    "branch (evaluator.py:99-104)")
             return loss, jax.nn.log_softmax(inner * alpha, axis=-1)
         return loss, probs
 

@@ -373,6 +373,7 @@ class NewVQModel(_BackboneMixin):
             beta=vq.get("beta", 0.25), normalize=vq.get("normalize", "none"),
             use_weighted_sum=vq.get("use_weighted_sum", False),
             use_restart=vq.get("use_restart", False),
+            need_initialized=vq.get("need_initialized", "none"),
             jsd_ts=cfg["loss"].get("jsd", {}).get("temperature", 1.0),
         )
         self.net = _NewVQNet(self.hidden_dim, self.feat_dim,
@@ -398,6 +399,26 @@ class NewVQModel(_BackboneMixin):
 
     def output_dim(self, output_type: str) -> int:
         return self.feat_dim if output_type == "feat" else self.hidden_dim
+
+    @property
+    def needs_data_init(self) -> bool:
+        return self.pq_cfg.need_initialized in ("kmeans", "rand")
+
+    def data_init(self, params, state, img, rng):
+        """kmeans/rand codebook init from the first train batch's ACTUAL
+        VQ input — the encoder output — via the same first-batch
+        clustering seam as the pqgo family (dino_pqgo.py:341-355; the
+        Trainer hook fires it once before step 0)."""
+        feat_dino = self.features(params, img)
+        variables = {"params": params["net"]}
+        if state.get("batch_stats"):
+            variables["batch_stats"] = state["batch_stats"]
+        feat, _ = self.net.apply(variables, feat_dino,
+                                 method=self.net.encode, mutable=[])
+        c = self.pq_cfg
+        zf = feat.reshape(-1, c.num_pq, c.sub_dim)
+        pq_p, pq_s = pq_data_init(rng, zf, params["pq"], state["pq"], c)
+        return dict(params, pq=pq_p), dict(state, pq=pq_s)
 
     def init(self, key, img_hw=(224, 224), backbone_params=None):
         k0, k1, k2 = jax.random.split(key, 3)
@@ -767,11 +788,54 @@ class VAEModel(_BackboneMixin):
                      vq_type=vq.get("vq_type", "param"),
                 assign_precision=vq.get("assign_precision", "exact"),
                      beta=vq.get("beta", 0.25),
+                     need_initialized=vq.get("need_initialized", "none"),
                      normalize=vq.get("normalize", "none"))
             for i in range(2)
         ]
         self.agg_type = vq.get("agg_type", "concat")
         self.net = _VAENet(self.hidden_dim, self.feat_dim, self.embed_dims)
+
+    @property
+    def needs_data_init(self) -> bool:
+        return any(c.need_initialized in ("kmeans", "rand")
+                   for c in self.pq_cfgs)
+
+    def data_init(self, params, state, img, rng):
+        """kmeans/rand codebook init chained through the two-level VAE
+        stack: the bottom quantizer clusters its ACTUAL input (which
+        depends on the top level's freshly initialized codewords), the
+        same forward-order seam as the pqgo family (dino_pqgo.py:
+        341-355)."""
+        feat_dino = self.features(params, img)
+
+        def run(net, x):
+            fb = net.enc_bottom(x)
+            ft = net.enc_top(fb)
+            f0 = net.vq_in_0(ft)
+            c0 = self.pq_cfgs[0]
+            p0, s0 = pq_data_init(
+                jax.random.fold_in(rng, 0),
+                f0.reshape(-1, c0.num_pq, c0.sub_dim),
+                params["pq"][0], state["pq"][0], c0)
+            zq0, _, _, _ = pq_forward(f0, p0, s0, c0, training=False)
+            d0 = net.dec_top(zq0)
+            f1 = net.aggregate(jnp.concatenate([fb, d0], -1))
+            c1 = self.pq_cfgs[1]
+            p1, s1 = pq_data_init(
+                jax.random.fold_in(rng, 1),
+                f1.reshape(-1, c1.num_pq, c1.sub_dim),
+                params["pq"][1], state["pq"][1], c1)
+            return [(p0, s0), (p1, s1)]
+
+        variables = {"params": params["net"]}
+        if state.get("batch_stats"):
+            variables["batch_stats"] = state["batch_stats"]
+        new_pq, _ = self.net.apply(variables, feat_dino, method=run,
+                                   mutable=[])
+        return (
+            dict(params, pq=[p for p, _ in new_pq]),
+            dict(state, pq=[s for _, s in new_pq]),
+        )
 
     def output_dim(self, output_type: str) -> int:
         if output_type == "feat":
@@ -1066,6 +1130,7 @@ class InfoModel(_BackboneMixin):
                 beta=vq.get("beta", 0.25), normalize=vq.get("normalize", "none"),
                 use_restart=vq.get("use_restart", False),
                 use_gumbel=vq.get("use_gumbel", False),
+                need_initialized=vq.get("need_initialized", "none"),
                 decay=vq.get("decay", 0.99), eps=vq.get("eps", 1e-5),
             )
             for i in range(self.num_vq)
@@ -1083,6 +1148,42 @@ class InfoModel(_BackboneMixin):
         # feat_vqs carries num_vq quantized levels + the final running
         # feature (dino_info.py:107-108)
         return self.embed_dims[i] if i < self.num_vq else self.feat_dim
+
+    @property
+    def needs_data_init(self) -> bool:
+        return any(c.need_initialized in ("kmeans", "rand")
+                   for c in self.pq_cfgs)
+
+    def data_init(self, params, state, img, rng):
+        """kmeans/rand codebook init through the chained projection
+        stack, each quantizer clustering its ACTUAL input fi (the
+        running feature f does not depend on codewords here, so no
+        re-quantize is needed between levels).  Same first-batch seam
+        as dino_pqgo.py:341-355."""
+        feat_dino = self.features(params, img)
+
+        def run(net, feat):
+            f = net.encode(feat)
+            new_pq = []
+            for i, c in enumerate(self.pq_cfgs):
+                fi = net.vq_input(i, f, train=False)
+                zf = fi.reshape(-1, c.num_pq, c.sub_dim)
+                p_i, s_i = pq_data_init(
+                    jax.random.fold_in(rng, i), zf,
+                    params["pq"][i], state["pq"][i], c)
+                new_pq.append((p_i, s_i))
+                f = net.vq_output(i, f)
+            return new_pq
+
+        variables = {"params": params["net"]}
+        if state.get("batch_stats"):
+            variables["batch_stats"] = state["batch_stats"]
+        new_pq, _ = self.net.apply(variables, feat_dino, method=run,
+                                   mutable=[])
+        return (
+            dict(params, pq=[p for p, _ in new_pq]),
+            dict(state, pq=[s for _, s in new_pq]),
+        )
 
     def _full(self, net, feat, params, state, training, rng):
         f = net.encode(feat)
@@ -1388,8 +1489,23 @@ class EMAModel(_BackboneMixin):
             # bank init happens ONCE in data_init (Trainer hook) before
             # the first step — keeping the k-means out of the per-step
             # graph (it used to sit in a lax.cond traced into EVERY step,
-            # inflating compile time for a branch that runs once)
-            centroid, queue = state["centroid"], state["queue"]
+            # inflating compile time for a branch that runs once).
+            # Guard for callers that drive train_step on a fresh state
+            # without the hook (bank_initialized==0): seed the bank from
+            # strided teacher pixels instead of silently training against
+            # all-zero centroids/queues — a gather, not a k-means, so it
+            # adds nothing to the per-step graph worth measuring.
+            initialized = state["bank_initialized"] > 0
+            stride = max(1, z_flat.shape[0] // self.n_cluster)
+            fb_idx = (jnp.arange(self.n_cluster) * stride) % z_flat.shape[0]
+            fb_cent = z_flat[fb_idx]
+            centroid = jnp.where(initialized[..., None],
+                                 state["centroid"], fb_cent)
+            queue = jnp.where(
+                initialized[..., None, None], state["queue"],
+                jnp.broadcast_to(fb_cent[:, None],
+                                 (self.n_cluster, self.queue_size,
+                                  self.hidden_dim)))
 
             # assign teacher pixels to centroids; enqueue the closest
             # enqueue_k per cluster (functional ring update)

@@ -71,6 +71,11 @@ class PQConfig:
     # distance-tensor bytes above which "auto" switches to the kernel
     # (XLA measured alive at 12.3 GB; 16 GB HBM is the hard wall)
     pallas_auto_bytes: float = 1.3e10
+    # how many ways the pixel axis n is sharded across the mesh: the
+    # gate must compare PER-CHIP bytes (the Trainer sets this from its
+    # mesh's data axis; n inside jit is the GLOBAL pixel count, but each
+    # chip only ever holds n/shards of the distance tensor)
+    pallas_auto_shards: int = 1
     # distance arithmetic for the kernel path: "exact" = f32 HIGHEST
     # distances, bit-identical argmin vs the torch fp32 reference;
     # "bf16" = one-pass MXU distances with f32 accumulation — the same
@@ -420,7 +425,8 @@ def pq_forward(
         # compares 1x dist bytes against pallas_auto_bytes (~13 GB,
         # just under the 16 GB HBM wall)
         elt = 2 if cfg.assign_precision == "bf16" else 4
-        want_pallas = n * M * K * elt > cfg.pallas_auto_bytes
+        per_chip = n * M * K * elt / max(1, cfg.pallas_auto_shards)
+        want_pallas = per_chip > cfg.pallas_auto_bytes
     else:
         want_pallas = bool(cfg.use_pallas)
     use_pallas = (

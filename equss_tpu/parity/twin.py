@@ -327,6 +327,11 @@ class TorchTwin:
 
             self.model = DIONPQGO(ref_model_cfg, cfg["loss"])
             self.wrapper = PQGOWrapper(cfg, self.model)
+        # the checkpoint is consumed inside DinoFeaturizer's __init__;
+        # drop the ~85 MB tempfile now so repeated twin constructions
+        # (4 variant fixtures + the dump protocol per suite run) don't
+        # accumulate in /tmp
+        os.unlink(self._pth)
         self.clip = float(cfg["train"]["clip_grad"])
 
         opt = cfg["optimizer"]

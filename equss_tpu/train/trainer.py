@@ -92,6 +92,7 @@ class Trainer:
         self.tc = TrainConfig.from_config(cfg)
         self.model = model or build_model(cfg)
         self.mesh = mesh if mesh is not None else make_mesh()
+        self._scale_pallas_gate()
 
         # supervised mode (sl_train.py): CE gradients flow into the model
         # head; no cluster probe (wrapper/SupervisedWrapper.py)
@@ -186,6 +187,28 @@ class Trainer:
             getattr(self.model, "needs_data_init", False))
         self._data_init = (jax.jit(self._data_init_impl)
                            if self._needs_data_init else None)
+
+    def _scale_pallas_gate(self) -> None:
+        """Tell use_pallas='auto' how many ways the pixel axis is
+        sharded: inside jit n is the GLOBAL count, but the gate's
+        threshold (quantizer.py pallas_auto_bytes) is per-chip HBM —
+        without the divisor an 8-way data mesh would flip to the kernel
+        at 1/8th of the tensor size it was calibrated for."""
+        shards = int(dict(self.mesh.shape).get("data", 1)) \
+            if self.mesh is not None else 1
+        if shards <= 1:
+            return
+        import dataclasses as _dc
+        m = self.model
+        if hasattr(m, "pq_cfgs"):
+            m.pq_cfgs = [_dc.replace(c, pallas_auto_shards=shards)
+                         for c in m.pq_cfgs]
+        if hasattr(m, "pq_cfg"):
+            m.pq_cfg = _dc.replace(m.pq_cfg, pallas_auto_shards=shards)
+        bundle = getattr(m, "cfg", None)           # EQUSS config bundle
+        if _dc.is_dataclass(bundle) and hasattr(bundle, "pq"):
+            m.cfg = _dc.replace(
+                bundle, pq=_dc.replace(bundle.pq, pallas_auto_shards=shards))
 
     # ------------------------------------------------------------------ init
     def init_state(self, key: jax.Array,

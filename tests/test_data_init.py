@@ -138,3 +138,56 @@ def test_unseg_chained_data_init():
         assert not np.allclose(b, a)
     ts, metrics = trainer.train_step(ts, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_new_vae_info_data_init():
+    """need_initialized flows into the new/vae/info families too (r3
+    self-review: they used to drop the key on the floor building
+    PQConfig): the Trainer hook fires and every codebook moves to live
+    where its ACTUAL VQ input lives (dino_pqgo.py:341-355 seam)."""
+    from test_variants import base_cfg
+
+    def codebooks(pq_params):
+        if isinstance(pq_params, dict):
+            return [np.asarray(pq_params["codebook"])]
+        return [np.asarray(p["codebook"]) for p in pq_params]
+
+    cases = {
+        "new": dict(loss={"info_nce_weight": 0.1}, vq={}, eval={}),
+        "vae": dict(loss={"contra_weight": {"pos": 0.1, "neg": 0.01}},
+                    vq={"num_codebooks": [8, 8], "embed_dims": [16, 16]},
+                    eval={"output_type": "vq1"}),
+        "info": dict(loss={}, vq={}, eval={}),
+    }
+    for name, tweak in cases.items():
+        cfg = base_cfg(name)
+        cfg["model"]["vq"].update(tweak["vq"])
+        cfg["loss"].update(tweak["loss"])
+        cfg["eval"].update(tweak["eval"])
+        cfg["model"]["vq"]["need_initialized"] = "kmeans"
+        trainer = Trainer(cfg, mesh=make_mesh(1))
+        assert trainer._needs_data_init, name
+        ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(16, 16))
+        before = codebooks(ts["params"]["pq"])
+        batch = next(iter(synthetic_batches(0, 1, batch_size=4, res=16)))
+        ts = trainer.data_init(ts, batch)
+        after = codebooks(ts["params"]["pq"])
+        for i, (b, a) in enumerate(zip(before, after)):
+            assert not np.allclose(b, a), (name, i)
+        ts, metrics = trainer.train_step(ts, batch)
+        assert np.isfinite(float(metrics["loss"])), name
+
+
+def test_pallas_auto_gate_scales_with_data_mesh():
+    """use_pallas='auto' must compare PER-CHIP distance-tensor bytes:
+    inside jit n is the GLOBAL pixel count, but the ~13 GB threshold is
+    one chip's HBM (r3 self-review) — the Trainer tells PQConfig the
+    data-mesh width so an 8-way mesh doesn't flip to the kernel at 1/8th
+    of the calibrated tensor size."""
+    trainer = Trainer(tiny_cfg())          # conftest mesh: 8 CPU devices
+    shards = dict(trainer.mesh.shape)["data"]
+    assert shards == 8
+    assert trainer.model.cfg.pq.pallas_auto_shards == 8
+    # single-device mesh stays at the calibrated default
+    t1 = Trainer(tiny_cfg(), mesh=make_mesh(1))
+    assert t1.model.cfg.pq.pallas_auto_shards == 1

@@ -279,3 +279,19 @@ def test_trainer_adamw_reference_baseline_optimizer():
     batch = next(iter(synthetic_batches(0, 1, batch_size=4, res=16)))
     ts, metrics = trainer.train_step(ts, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_cluster_probe_log_probs_requires_alpha():
+    """log_probs (the CRF branch's input, evaluator.py:99-104) only
+    exists for the softmax path; the alpha=None hard-assignment default
+    must fail loudly instead of tracing `inner * None` (r3 review)."""
+    from equss_tpu.eval.probes import ClusterProbe
+
+    probe = ClusterProbe(num_clusters=4, dim=8)
+    x = jnp.zeros((1, 2, 2, 8))
+    params = probe.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="alpha"):
+        probe.apply(params, x, alpha=None, log_probs=True)
+    # the softmax path still serves log-probs
+    _, lp = probe.apply(params, x, alpha=2.0, log_probs=True)
+    assert np.allclose(np.exp(np.asarray(lp)).sum(-1), 1.0, atol=1e-5)

@@ -348,3 +348,29 @@ def test_unmatched_loss_weight_raises():
     batch = next(iter(synthetic_batches(0, 1, batch_size=4, res=16)))
     with pytest.raises(ValueError, match="stego"):
         trainer.train_step(ts, batch)
+
+
+def test_ema_train_without_data_init_hook():
+    """Guard (r3 self-review): driving train_step directly on a fresh
+    state — bypassing the Trainer.fit data_init hook — must not train
+    against the all-zero bank; the step seeds centroids from strided
+    teacher pixels in-graph instead."""
+    cfg = base_cfg("ema")
+    cfg["model"]["hidden_dim"] = 16
+    cfg["model"]["encoder"] = {"momentum": 0.9}
+    cfg["model"]["memory_bank"] = {"n_cluster": 4, "queue_size": 8,
+                                   "num_support": 4, "enqueue_k": 2}
+    cfg["loss"] = {"info_nce_weight": 0.5, "mse_weight": 1.0,
+                   "info_nce": {"temperature": 0.5, "num_queries": 4,
+                                "num_neg": 8}}
+    cfg["eval"]["output_type"] = "feat"
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(16, 16))
+    assert int(ts["model_state"]["bank_initialized"]) == 0
+    batch = next(iter(synthetic_batches(0, 1, batch_size=4, res=16)))
+    ts, metrics = trainer.train_step(ts, batch)       # NO data_init call
+    cent = np.asarray(ts["model_state"]["centroid"])
+    queue = np.asarray(ts["model_state"]["queue"])
+    assert np.abs(cent).sum() > 0, "trained against the zero bank"
+    assert np.abs(queue).sum() > 0
+    assert np.isfinite(float(metrics["loss"]))
