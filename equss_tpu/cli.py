@@ -215,6 +215,44 @@ def run_knn_job(cfg: Dict[str, Any]) -> None:
     print("->", precompute_knns(model, params, data, out_path, k=30))
 
 
+def run_export_job(cfg: Dict[str, Any]) -> str:
+    """Freeze a trained checkpoint into a standalone serving artifact
+    (equss_tpu/serve.py — a deployment surface the reference lacks).
+
+    ``python -m equss_tpu.cli export --config X.yaml \
+        resume.checkpoint=/run/ckpt export.path=model.eqx``
+    """
+    import jax
+
+    from equss_tpu import serve
+    from equss_tpu.core.checkpoint import CheckpointManager
+    from equss_tpu.train.trainer import Trainer
+
+    exp_cfg = cfg.get("export", {}) or {}
+    ckpt_path = (cfg.get("resume", {}) or {}).get("checkpoint")
+    out_path = exp_cfg.get("path", "model.eqx")
+    res = int(exp_cfg.get("res", cfg["dataset"]["val"]["res"]))
+
+    trainer = Trainer(cfg, backbone_params=_load_backbone(cfg))
+    template = jax.device_get(trainer.init_state(
+        jax.random.PRNGKey(cfg.get("seed", 0)), img_hw=(res, res)))
+    state = template
+    if ckpt_path:
+        state = CheckpointManager(ckpt_path).restore(template=template)
+    else:
+        print("export: no resume.checkpoint given — exporting the "
+              "freshly initialized model (smoke use only)")
+    exported = serve.export_predictor(
+        trainer, state, (res, res),
+        batch_size=int(exp_cfg.get("batch_size", 1)),
+        normalize=bool(exp_cfg.get("normalize", True)),
+        platforms=exp_cfg.get("platforms"))
+    serve.save_predictor(exported, out_path)
+    print(f"-> {out_path} ({os.path.getsize(out_path)} bytes; "
+          f"input {exported.in_avals[0].shape})")
+    return out_path
+
+
 def main(argv: Optional[List[str]] = None):
     import sys as _sys
 
@@ -223,7 +261,7 @@ def main(argv: Optional[List[str]] = None):
 
     argv = list(_sys.argv[1:]) if argv is None else list(argv)
     job = "train"
-    if argv and argv[0] in ("train", "crop", "knn"):
+    if argv and argv[0] in ("train", "crop", "knn", "export"):
         job = argv.pop(0)
     cfg, _ = prepare_config(argv)
     set_seed(cfg.get("seed", 0))
@@ -231,6 +269,8 @@ def main(argv: Optional[List[str]] = None):
         return run_crop_job(cfg)
     if job == "knn":
         return run_knn_job(cfg)
+    if job == "export":
+        return run_export_job(cfg)
     return run(cfg)
 
 

@@ -425,8 +425,13 @@ def pq_forward(
         # compares 1x dist bytes against pallas_auto_bytes (~13 GB,
         # just under the 16 GB HBM wall)
         elt = 2 if cfg.assign_precision == "bf16" else 4
-        per_chip = n * M * K * elt / max(1, cfg.pallas_auto_shards)
-        want_pallas = per_chip > cfg.pallas_auto_bytes
+        if isinstance(n, int):
+            per_chip = n * M * K * elt / max(1, cfg.pallas_auto_shards)
+            want_pallas = per_chip > cfg.pallas_auto_bytes
+        else:
+            # symbolic n (jax.export shape polymorphism): size unknown
+            # at trace time and Pallas needs concrete shapes — XLA path
+            want_pallas = False
     else:
         want_pallas = bool(cfg.use_pallas)
     use_pallas = (

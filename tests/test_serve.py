@@ -1,0 +1,63 @@
+"""Serving/export path (equss_tpu/serve.py) — a deployment surface the
+reference lacks (its inference = re-running train.py's valid loop with
+the full training codebase on the path)."""
+import numpy as np
+import pytest
+
+import jax
+
+from equss_tpu import serve
+from equss_tpu.parallel.mesh import make_mesh
+from equss_tpu.train.trainer import Trainer
+
+from test_trainer import tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def exported_blob():
+    trainer = Trainer(tiny_cfg(), mesh=make_mesh(1))
+    ts = jax.device_get(
+        trainer.init_state(jax.random.PRNGKey(0), img_hw=(16, 16)))
+    exported = serve.export_predictor(trainer, ts, (16, 16))
+    live = jax.jit(serve.build_predict_fn(trainer, ts))
+    return exported, live
+
+
+def test_export_round_trip_matches_live_model(exported_blob, tmp_path):
+    exported, live = exported_blob
+    path = serve.save_predictor(exported, str(tmp_path / "model.eqx"))
+    predict = serve.load_predictor(path)
+    img = np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32)
+    out = predict(img)
+    ref = live(img)
+    assert set(out) == {"cluster_preds", "linear_preds"}
+    for k in out:
+        assert out[k].shape == (2, 16, 16)
+        assert out[k].dtype == np.int32
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]))
+
+
+def test_export_symbolic_batch(exported_blob):
+    """The artifact serves ANY batch size (shape polymorphism) when the
+    traced graph allows it — the einsum-attention/XLA-assignment path
+    does; Pallas fast modes pin the batch (serve.py docstring)."""
+    exported, _ = exported_blob
+    assert str(exported.in_avals[0].shape[0]) == "b"
+    predict = serve.load_predictor(bytes(exported.serialize()))
+    for b in (1, 3):
+        out = predict(np.zeros((b, 16, 16, 3), np.float32))
+        assert out["cluster_preds"].shape == (b, 16, 16)
+
+
+def test_cli_export_job(tmp_path):
+    """`python -m equss_tpu.cli export` freezes a checkpointless smoke
+    model end to end (checkpointed runs go through the same restore
+    seam as eval-only mode, cli.py run())."""
+    from equss_tpu.cli import main
+
+    out = str(tmp_path / "m.eqx")
+    main(["export", "--config", "configs/smoke_synthetic.yaml", "--debug",
+          f"export.path={out}", "export.res=16"])
+    predict = serve.load_predictor(out)
+    res = predict(np.zeros((1, 16, 16, 3), np.float32))
+    assert res["linear_preds"].shape == (1, 16, 16)
