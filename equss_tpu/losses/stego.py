@@ -31,6 +31,13 @@ class StegoLossConfig:
     stabilize: bool = False
     feature_samples: int = 11
     neg_samples: int = 5
+    #: MXU precision of the correlation einsums ("exact" = f32 6-pass,
+    #: "bf16" = one-pass bf16 inputs with f32 accumulation).  The torch
+    #: reference computes these einsums under fp16 autocast
+    #: (loss.py:647-648 called from train.py:80's autocast region), so
+    #: bf16 is the same fidelity class as the reference's AMP run —
+    #: like the quantizer's assign_precision knob.
+    correlation_precision: str = "exact"
 
 
 #: grid_sample routes small queries to the bilinear-weight matmul
@@ -129,11 +136,22 @@ def _norm(t: jnp.ndarray) -> jnp.ndarray:
     return t / jnp.maximum(n, 1e-10)
 
 
-def tensor_correlation(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def tensor_correlation(
+    a: jnp.ndarray, b: jnp.ndarray, precision: str = "exact"
+) -> jnp.ndarray:
     """einsum('nchw,ncij->nhwij') in NHWC (loss.py:647-648).
 
-    Full-f32 MXU precision: correlation values feed shifted/clamped loss
-    terms where bf16 rounding visibly moves the loss."""
+    precision="exact": full-f32 MXU passes — correlation values feed
+    shifted/clamped loss terms where bf16 rounding visibly moves the
+    loss relative to the f32 oracle.  precision="bf16": one-pass bf16
+    inputs with f32 accumulation — the fidelity class of the torch
+    reference's fp16-autocast einsum (see StegoLossConfig)."""
+    if precision == "bf16":
+        return jnp.einsum(
+            "nhwc,nijc->nhwij",
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
     return jnp.einsum(
         "nhwc,nijc->nhwij", a, b,
         preferred_element_type=jnp.float32, precision="highest",
@@ -151,13 +169,13 @@ def super_perm(key: jax.Array, size: int) -> jnp.ndarray:
 def _helper(
     f1, f2, c1, c2, shift: float, cfg: StegoLossConfig
 ) -> jnp.ndarray:
-    fd = tensor_correlation(_norm(f1), _norm(f2))
+    fd = tensor_correlation(_norm(f1), _norm(f2), cfg.correlation_precision)
     fd = jax.lax.stop_gradient(fd)      # backbone frozen (loss.py:678-680)
     if cfg.pointwise:
         old_mean = jnp.mean(fd)
         fd = fd - jnp.mean(fd, axis=(3, 4), keepdims=True)
         fd = fd - jnp.mean(fd) + old_mean
-    cd = tensor_correlation(_norm(c1), _norm(c2))
+    cd = tensor_correlation(_norm(c1), _norm(c2), cfg.correlation_precision)
     min_val = 0.0 if cfg.zero_clamp else -9999.0
     if cfg.stabilize:
         cd_c = jnp.clip(cd, min_val, 0.8)

@@ -66,6 +66,8 @@ def stego_config_from_dict(stego: Dict[str, Any]) -> StegoLossConfig:
         stabilize=stego.get("stabilize", False),
         feature_samples=stego.get("feature_samples", 11),
         neg_samples=stego.get("neg_samples", 5),
+        correlation_precision=stego.get("correlation_precision",
+                                        d.correlation_precision),
     )
 
 

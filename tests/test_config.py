@@ -92,7 +92,7 @@ def _flatten(d, prefix=""):
 
 def test_parity_preset_differs_only_in_documented_knobs():
     """pqgo_cocostuff27_parity.yaml must equal the fast preset except the
-    four documented fidelity knobs (+ run name) — so the bit-identical
+    five documented fidelity knobs (+ run name) — so the bit-identical
     configuration is a one-flag run, not code archaeology (VERDICT r2)."""
     fast = _flatten(resolve_config(load_config("configs/pqgo_cocostuff27.yaml")))
     par = _flatten(resolve_config(
@@ -103,6 +103,7 @@ def test_parity_preset_differs_only_in_documented_knobs():
         "model.pretrained.gelu": (None, "erf"),
         "model.vq.assign_precision": ("bf16", "exact"),
         "eval.probe_res": ("feat", "label"),
+        "loss.stego.correlation_precision": ("bf16", "exact"),
     }
     keys = set(fast) | set(par)
     diffs = {k: (fast.get(k), par.get(k)) for k in keys

@@ -124,6 +124,33 @@ def test_stego_loss_runs_and_finite():
     assert np.isfinite(float(loss))
 
 
+def test_stego_bf16_correlations_within_autocast_tolerance():
+    """correlation_precision='bf16' (the shipped fast presets — the
+    fidelity class of the reference's fp16-autocast einsum, loss.py:647
+    under train.py:80) must track the exact-f32 loss AND its gradient
+    closely.  Measured on the chip at the flagship shape: ~3e-6 relative
+    loss difference; this CPU test bounds small shapes at 1e-2."""
+    key = jax.random.PRNGKey(0)
+    f = jax.random.normal(jax.random.PRNGKey(1), (4, 14, 14, 16))
+    fp = jax.random.normal(jax.random.PRNGKey(2), (4, 14, 14, 16))
+    c = jax.random.normal(jax.random.PRNGKey(3), (4, 14, 14, 8))
+    cp = jax.random.normal(jax.random.PRNGKey(4), (4, 14, 14, 8))
+
+    def loss_grad(prec):
+        cfg = StegoLossConfig(correlation_precision=prec)
+        val, grad = jax.jit(jax.value_and_grad(
+            lambda cc: stego_loss(key, f, fp, cc, cp, cfg)))(c)
+        return float(val), np.asarray(grad)
+
+    v_exact, g_exact = loss_grad("exact")
+    v_bf16, g_bf16 = loss_grad("bf16")
+    assert abs(v_bf16 - v_exact) <= 1e-2 * max(1.0, abs(v_exact))
+    # gradient direction must survive the rounding (cosine similarity)
+    cos = float((g_exact * g_bf16).sum()
+                / (np.linalg.norm(g_exact) * np.linalg.norm(g_bf16)))
+    assert cos > 0.999, cos
+
+
 def test_jsd_entropy_vs_torch():
     rng = np.random.RandomState(3)
     p = rng.rand(40, 9).astype(np.float32)
