@@ -242,11 +242,14 @@ def run_export_job(cfg: Dict[str, Any]) -> str:
     else:
         print("export: no resume.checkpoint given — exporting the "
               "freshly initialized model (smoke use only)")
+    platforms = exp_cfg.get("platforms")
+    if isinstance(platforms, str):     # dotlist export.platforms=tpu,cpu
+        platforms = [p.strip() for p in platforms.split(",") if p.strip()]
     exported = serve.export_predictor(
         trainer, state, (res, res),
         batch_size=int(exp_cfg.get("batch_size", 1)),
         normalize=bool(exp_cfg.get("normalize", True)),
-        platforms=exp_cfg.get("platforms"))
+        platforms=platforms)
     serve.save_predictor(exported, out_path)
     print(f"-> {out_path} ({os.path.getsize(out_path)} bytes; "
           f"input {exported.in_avals[0].shape})")

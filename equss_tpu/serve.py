@@ -50,10 +50,11 @@ def build_predict_fn(trainer, ts: Dict[str, Any], *,
 
     def predict(img: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         if normalize:
-            from equss_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+            # the SAME helper the trainer's valid path applies, so the
+            # artifact stays byte-identical to the live model
+            from equss_tpu.data.transforms import normalize_images
 
-            img = (img - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(
-                IMAGENET_STD)
+            img = normalize_images(img)
         out, _ = model.apply(params, model_state, img, training=False)
         sel = trainer._select_out(out)
         # the evaluator only uses the label plane for losses (masked CE
@@ -84,10 +85,42 @@ def export_predictor(trainer, ts: Dict[str, Any], img_hw,
     try:
         (b,) = jax.export.symbolic_shape("b")
         spec = jax.ShapeDtypeStruct((b, *img_hw, 3), jnp.float32)
-        return jax.export.export(predict, **kw)(spec)
-    except Exception:
+        exported = jax.export.export(predict, **kw)(spec)
+    except Exception as e:  # shape polymorphism unsupported on this
+        # graph (e.g. Pallas fast-attention needs concrete shapes) —
+        # fall back to a batch-pinned artifact, but say why, so a user
+        # expecting an any-batch artifact isn't surprised at serving time
+        print(f"export: symbolic batch unavailable "
+              f"({type(e).__name__}: {str(e).splitlines()[0][:160]}); "
+              f"pinning batch_size={batch_size}")
         spec = jax.ShapeDtypeStruct((batch_size, *img_hw, 3), jnp.float32)
         return jax.export.export(predict, **kw)(spec)
+    _warn_symbolic_hbm_bound(trainer, img_hw)
+    return exported
+
+
+def _warn_symbolic_hbm_bound(trainer, img_hw) -> None:
+    """A symbolic-batch artifact freezes want_pallas=False into the graph
+    (pq_forward can't size-gate an unknown n — quantizer.py pallas_auto
+    branch), so the live model's auto-switch to the Pallas kernel above
+    ~pallas_auto_bytes distance tensors does NOT exist in the artifact.
+    Print the serving-batch bound where the dense (n, M, K) distance
+    tensor would hit that budget, so deployments know the artifact's
+    batch ceiling."""
+    pq = getattr(getattr(trainer, "model", None), "cfg", None)
+    pq = getattr(pq, "pq", None)
+    if pq is None or pq.use_pallas != "auto":
+        return
+    patch = trainer.model.cfg.patch_size
+    n_per_img = (img_hw[0] // patch) * (img_hw[1] // patch)
+    elt = 2 if pq.assign_precision == "bf16" else 4
+    bytes_per_img = n_per_img * pq.num_pq * pq.num_codebook * elt
+    max_b = int(pq.pallas_auto_bytes // max(1, bytes_per_img))
+    print(f"export: symbolic-batch artifact always runs the XLA "
+          f"assignment path (no Pallas auto-switch); keep serving "
+          f"batches <= ~{max_b} at {img_hw[0]}x{img_hw[1]} or the "
+          f"(n, M, K) distance tensor exceeds the "
+          f"{pq.pallas_auto_bytes / 2**30:.0f} GiB HBM budget")
 
 
 def save_predictor(exported, path: str) -> str:
@@ -115,6 +148,9 @@ def load_predictor(path_or_bytes) -> Callable:
     call = jax.jit(exported.call)
 
     def predict(img):
-        return call(jnp.asarray(img, jnp.float32))
+        img = jnp.asarray(img)
+        if img.dtype == jnp.uint8:     # match normalize_images' contract:
+            img = img / 255.0          # the artifact expects [0, 1] floats
+        return call(img.astype(jnp.float32))
 
     return predict
