@@ -49,6 +49,32 @@ def test_export_symbolic_batch(exported_blob):
         assert out["cluster_preds"].shape == (b, 16, 16)
 
 
+def test_uint8_input_matches_float(exported_blob):
+    """load_predictor scales uint8 0-255 input to [0, 1] before the f32
+    cast — a raw-image caller must get the same predictions as a
+    pre-scaled float caller, not 0-255 'normalized' garbage."""
+    exported, _ = exported_blob
+    predict = serve.load_predictor(bytes(exported.serialize()))
+    u8 = np.random.RandomState(1).randint(0, 256, (2, 16, 16, 3), np.uint8)
+    out_u8 = predict(u8)
+    out_f = predict(u8.astype(np.float32) / 255.0)
+    for k in out_f:
+        np.testing.assert_array_equal(np.asarray(out_u8[k]),
+                                      np.asarray(out_f[k]))
+
+
+def test_cli_export_platforms_string_coerced(tmp_path):
+    """A dotlist override `export.platforms=cpu` parses to a STRING; the
+    CLI must coerce it to a list or jax.export iterates it char-by-char."""
+    from equss_tpu.cli import main
+
+    out = str(tmp_path / "m.eqx")
+    main(["export", "--config", "configs/smoke_synthetic.yaml", "--debug",
+          f"export.path={out}", "export.res=16", "export.platforms=cpu"])
+    exported = jax.export.deserialize(bytearray(open(out, "rb").read()))
+    assert exported.platforms == ("cpu",)
+
+
 def test_cli_export_job(tmp_path):
     """`python -m equss_tpu.cli export` freezes a checkpointless smoke
     model end to end (checkpointed runs go through the same restore
