@@ -27,12 +27,22 @@ import jax.numpy as jnp
 A100_REFERENCE_IMGS_PER_SEC = 100.0
 
 
-def main():
+def main(argv=None):
+    import argparse
+
     from equss_tpu.models.equss import EQUSS, EQUSSConfig
     from equss_tpu.ops.quantizer import PQConfig
 
+    # optional model-zoo knobs; the no-arg invocation (the driver
+    # contract) is unchanged: ViT-S/8 @ b=128, one JSON line
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="vit_small",
+                    choices=["vit_small", "vit_base"])
+    ap.add_argument("--batch", type=int, default=None)
+    args = ap.parse_args(argv)
+
     cfg = EQUSSConfig(
-        model_type="vit_small",
+        model_type=args.model,
         patch_size=8,
         hidden_dim=1024,
         dropout=False,
@@ -64,7 +74,7 @@ def main():
     # measured per-chip throughput knee (same-process sweep, r3):
     # b=64 1662, b=128 1692, b=256 1656 img/s — serving batch is a free
     # deployment parameter, so the headline uses the optimum
-    batch = 128
+    batch = args.batch or 128
     img = jax.random.normal(jax.random.PRNGKey(1), (batch, 224, 224, 3),
                             jnp.float32)
 

@@ -183,6 +183,34 @@ def run_crop_job(cfg: Dict[str, Any]) -> None:
     print(f"cropped corpus written to {out}")
 
 
+def run_pack_job(cfg: Dict[str, Any]) -> None:
+    """Packed decoded-corpus cache build (data/cache.py) — one decode
+    pass per split; afterwards epoch iteration serves memmap slices
+    (dataloader.<mode>.pack: auto picks the pack up automatically)."""
+    from equss_tpu.data.cache import default_pack_base, pack_dataset
+    from equss_tpu.data.datasets import build_base_dataset
+
+    for mode in ("train", "val"):
+        d = (cfg.get("dataset", {}) or {}).get(mode)
+        if not d:
+            continue
+        try:
+            ds = build_base_dataset(
+                d["dataset_name"], mode, d["data_dir"], d["res"],
+                d.get("crop_type"), d.get("crop_ratio", 0.5),
+                d.get("loader_crop_type", "center"), cfg.get("seed", 0))
+        except (FileNotFoundError, OSError) as e:
+            print(f"pack: {mode} corpus not found ({e}) — skipped")
+            continue
+        if not hasattr(ds, "image_files"):
+            print(f"pack: {mode} dataset has no file list — skipped")
+            continue
+        out = pack_dataset(ds, default_pack_base(
+            d["data_dir"], d["dataset_name"], mode, d.get("crop_type"),
+            d["res"]))
+        print(f"packed {mode} corpus -> {out}")
+
+
 def run_knn_job(cfg: Dict[str, Any]) -> None:
     """kNN-positive cache precompute (data/precompute_knns.py my_app)."""
     import os
@@ -264,12 +292,14 @@ def main(argv: Optional[List[str]] = None):
 
     argv = list(_sys.argv[1:]) if argv is None else list(argv)
     job = "train"
-    if argv and argv[0] in ("train", "crop", "knn", "export"):
+    if argv and argv[0] in ("train", "crop", "knn", "export", "pack"):
         job = argv.pop(0)
     cfg, _ = prepare_config(argv)
     set_seed(cfg.get("seed", 0))
     if job == "crop":
         return run_crop_job(cfg)
+    if job == "pack":
+        return run_pack_job(cfg)
     if job == "knn":
         return run_knn_job(cfg)
     if job == "export":

@@ -15,6 +15,14 @@ Host parallelism replaces the reference's 8 DataLoader workers
     ahead, overlapping host decode with the (async-dispatched) device
     step even on a single core.
 
+On top of that, batches whose loader geometry is center/none crop route
+through the native C++ loader (native/imageloader.cpp via
+data/native_loader.py): one batched JPEG/PNG decode + NEAREST resize +
+crop call per batch, bit-identical to the PIL path (tested) and free of
+the GIL entirely.  ``native`` is "auto" (use when the library loads and
+the corpus decodes cleanly; fall back to PIL otherwise), "on" (fail
+loudly), or "off".
+
 There is no DistributedSampler: under pjit the GLOBAL batch is assembled
 on the host and sharded over the mesh's data axis by the trainer, which
 is the JAX-native replacement for per-rank batch slicing
@@ -50,15 +58,34 @@ class UnSegData:
         seed: int = 0,
         nns_path: Optional[str] = None,
         num_workers: int = 0,
+        native: str = "auto",
+        pack: str = "auto",
+        pack_path: Optional[str] = None,
     ) -> None:
         self.mode = mode
         self.pos_images = pos_images
         self.num_neighbors = num_neighbors
         self.num_workers = num_workers
+        self.native = native
         self.dataset = build_base_dataset(
             dataset_name, mode, data_dir, res, crop_type, crop_ratio,
             loader_crop_type, seed,
         )
+        if pack != "off" and hasattr(self.dataset, "image_files"):
+            from equss_tpu.data.cache import (PackedDataset,
+                                              default_pack_base)
+            base_path = pack_path or default_pack_base(
+                data_dir, dataset_name, mode, crop_type, res)
+            if os.path.exists(base_path + ".bin"):
+                try:
+                    self.dataset = PackedDataset(self.dataset, base_path)
+                except Exception:
+                    if pack == "on":
+                        raise
+            elif pack == "on":
+                raise FileNotFoundError(
+                    f"dataloader pack=on but no pack at {base_path}.bin; "
+                    f"run the 'pack' CLI job first")
         self.nns: Optional[np.ndarray] = None
         if pos_images:
             if nns_path is None:
@@ -113,6 +140,102 @@ class UnSegData:
                 ret["mask_pos"] = pos["label"] == -1
         return ret
 
+    # -- batched fast paths (pack slice / native decode) ----------------
+
+    def _fast_batch_kind(self) -> Optional[str]:
+        """'pack' (memmap slices), 'native' (C++ batch decode) or None.
+
+        Both fast paths require center/none loader crops (no per-pixel
+        rng) on a file-backed dataset; a packed random-crop corpus still
+        skips decode via ``PackedDataset.get`` inside the item() path.
+        """
+        from equss_tpu.data.cache import PackedDataset
+
+        ds = self.dataset
+        simple_crop = getattr(ds, "crop_type", "?") in ("center", "none",
+                                                        None)
+        if isinstance(ds, PackedDataset):
+            return "pack" if simple_crop else None
+        if self.native == "off" or getattr(self, "_native_disabled", False):
+            return None
+        ok = (simple_crop and hasattr(ds, "image_files")
+              and hasattr(ds, "label_files"))
+        if ok:
+            from equss_tpu.data import native_loader
+            ok = native_loader.available()
+        if not ok and self.native == "on":
+            raise RuntimeError(
+                "dataloader native=on but the native loader does not apply "
+                "here (needs a file-backed dataset with center/none loader "
+                "crop and a buildable native/imageloader.so)")
+        return "native" if ok else None
+
+    def _draw_pos(self, idx_list, seeds):
+        """k-th-neighbor picks — the SAME first RandomState draw item()
+        would consume (center/none crops draw nothing before it)."""
+        if self.nns is None:
+            return []
+        return [int(self.nns[i][np.random.RandomState(s).randint(
+            1, self.num_neighbors + 1)]) for i, s in zip(idx_list, seeds)]
+
+    def _assemble(self, idx_list, pos_list, imgs, labels) -> Dict[str, Any]:
+        """item()/_collate batch contract from stacked arrays."""
+        n = len(idx_list)
+        batch: Dict[str, Any] = {
+            "img": imgs[:n],
+            "label": labels[:n],
+            "img_path": [self.dataset.image_files[i] for i in idx_list],
+            "index": np.asarray(idx_list, np.int32),
+            "mask": labels[:n] == -1,
+        }
+        if self.nns is not None:
+            batch["index_pos"] = np.asarray(pos_list, np.int32)
+            batch["img_pos"] = imgs[n:]
+            batch["label_pos"] = labels[n:]
+            batch["mask_pos"] = labels[n:] == -1
+        return batch
+
+    def _native_batch(self, idxs, seeds) -> Dict[str, Any]:
+        """One batched C++ decode call for the images (and positives) of
+        a batch — bit-identical to the PIL item path (tested)."""
+        from equss_tpu.data.native_loader import (load_image_batch,
+                                                  load_label_batch)
+        ds = self.dataset
+        mode = "center" if ds.crop_type == "center" else "none"
+        idx_list = [int(i) for i in idxs]
+        pos_list = self._draw_pos(idx_list, seeds)
+        all_idx = idx_list + pos_list
+        threads = max(1, self.num_workers)
+        imgs = load_image_batch([ds.image_files[i] for i in all_idx],
+                                ds.res, threads, mode)
+        raw = load_label_batch([ds.label_files[i] for i in all_idx],
+                               ds.res, threads, mode)
+        # every remap_label is elementwise (LUT / shift / where), so one
+        # batched apply equals the per-item loop
+        labels = np.asarray(ds.remap_label(raw.astype(np.int32)), np.int32)
+        return self._assemble(idx_list, pos_list, imgs, labels)
+
+    def _pack_batch(self, idxs, seeds) -> Dict[str, Any]:
+        """Memmap-slice batch from a ``PackedDataset`` — no codec at all."""
+        from equss_tpu.data.transforms import center_crop_np
+
+        ds = self.dataset
+        res = ds.res
+        idx_list = [int(i) for i in idxs]
+        pos_list = self._draw_pos(idx_list, seeds)
+        all_idx = idx_list + pos_list
+        m = len(all_idx)
+        imgs = np.empty((m, res, res, 3), np.uint8)
+        raw = np.empty((m, res, res), np.uint8)
+        center = ds.crop_type == "center"
+        for j, i in enumerate(all_idx):
+            im, lb = ds.raw(i)
+            if center:
+                im, lb = center_crop_np(im, res), center_crop_np(lb, res)
+            imgs[j], raw[j] = im, lb
+        labels = np.asarray(ds.remap_label(raw.astype(np.int32)), np.int32)
+        return self._assemble(idx_list, pos_list, imgs, labels)
+
     @staticmethod
     def _collate(items) -> Dict[str, Any]:
         batch: Dict[str, Any] = {}
@@ -127,7 +250,8 @@ class UnSegData:
         return batch
 
     def _epoch_batches(self, batch_size, shuffle, seed, drop_last,
-                       max_batches, pool) -> Iterator[Dict[str, np.ndarray]]:
+                       max_batches, pool, fast: Optional[str] = None,
+                       ) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.RandomState(seed)
         order = np.arange(len(self.dataset))
         if shuffle:
@@ -139,14 +263,29 @@ class UnSegData:
             idxs = order[start: start + batch_size]
             # one deterministic seed per item, drawn IN ORDER from the
             # epoch rng, so crops/neighbor picks are reproducible no
-            # matter how threads interleave
+            # matter how threads interleave (or which decode path runs)
             seeds = rng.randint(0, 2**31 - 1, size=len(idxs))
-            fn = lambda args: self.item(          # noqa: E731
-                int(args[0]), np.random.RandomState(args[1]))
-            pairs = list(zip(idxs, seeds))
-            items = list(pool.map(fn, pairs)) if pool is not None \
-                else [fn(p) for p in pairs]
-            yield self._collate(items)
+            batch = None
+            if fast == "pack":
+                batch = self._pack_batch(idxs, seeds)
+            elif fast == "native":
+                try:
+                    batch = self._native_batch(idxs, seeds)
+                except Exception:
+                    if self.native == "on":
+                        raise
+                    # e.g. a format the C++ decoders reject: fall back
+                    # to PIL permanently for this pipeline
+                    self._native_disabled = True
+                    fast = None
+            if batch is None:
+                fn = lambda args: self.item(          # noqa: E731
+                    int(args[0]), np.random.RandomState(args[1]))
+                pairs = list(zip(idxs, seeds))
+                items = list(pool.map(fn, pairs)) if pool is not None \
+                    else [fn(p) for p in pairs]
+                batch = self._collate(items)
+            yield batch
             count += 1
             if max_batches is not None and count >= max_batches:
                 return
@@ -169,15 +308,26 @@ class UnSegData:
         shuffle = (self.mode == "train") if shuffle is None else shuffle
         drop_last = shuffle if drop_last is None else drop_last
         workers = self.num_workers if num_workers is None else num_workers
+        fast = self._fast_batch_kind()
 
-        if workers <= 0:
+        if workers <= 0 and fast is None:
             yield from self._epoch_batches(batch_size, shuffle, seed,
                                            drop_last, max_batches, None)
             return
 
+        # pack slicing is near-free and native decode releases the GIL
+        # entirely, so the producer thread overlaps with the device step
+        # even on one core (unlike PIL decode threads, which ping-pong
+        # the GIL there)
+        if workers <= 0:
+            gen = self._epoch_batches(batch_size, shuffle, seed, drop_last,
+                                      max_batches, None, fast)
+            yield from threaded_prefetch(gen, depth=max(prefetch, 1))
+            return
+
         with ThreadPoolExecutor(max_workers=workers) as pool:
             gen = self._epoch_batches(batch_size, shuffle, seed, drop_last,
-                                      max_batches, pool)
+                                      max_batches, pool, fast)
             yield from threaded_prefetch(gen, depth=max(prefetch, 1))
 
 
@@ -189,10 +339,14 @@ def build_data(cfg: Dict[str, Any], mode: str, seed: int = 0) -> UnSegData:
     # 1-core host the GIL ping-pong with the dispatch/transfer threads
     # measurably HURTS (70.9 -> ~30 img/s full-loop on the bench box)
     cpus = os.cpu_count() or 1
-    workers = (cfg.get("dataloader", {}).get(mode, {}) or {}).get(
-        "num_workers", min(8, cpus - 1) if cpus > 1 else 0)
+    dl_cfg = (cfg.get("dataloader", {}).get(mode, {}) or {})
+    workers = dl_cfg.get("num_workers",
+                         min(8, cpus - 1) if cpus > 1 else 0)
     return UnSegData(
         num_workers=workers,
+        native=str(dl_cfg.get("native", "auto")),
+        pack=str(dl_cfg.get("pack", "auto")),
+        pack_path=dl_cfg.get("pack_path"),
         mode=mode,
         data_dir=d["data_dir"],
         dataset_name=d["dataset_name"],

@@ -192,7 +192,7 @@ def test_parallel_decode_matches_serial(coco_root, tmp_path):
 
     data = UnSegData("train", coco_root, "cocostuff27", crop_type=None,
                      loader_crop_type="center", res=32, pos_images=True,
-                     num_neighbors=3, nns_path=nns_path)
+                     num_neighbors=3, nns_path=nns_path, native="off")
     serial = list(data.batches(2, seed=7, num_workers=0))
     parallel = list(data.batches(2, seed=7, num_workers=3, prefetch=2))
     assert len(serial) == len(parallel)
@@ -217,3 +217,169 @@ def test_parallel_decode_random_crop_deterministic(coco_root):
     for ba, bb in zip(a, b):
         np.testing.assert_array_equal(ba["img"], bb["img"])
         np.testing.assert_array_equal(ba["label"], bb["label"])
+
+
+# ------------------------------------------------- native + packed fast paths
+
+def _assert_batches_equal(batches_a, batches_b):
+    assert len(batches_a) == len(batches_b)
+    for ba, bb in zip(batches_a, batches_b):
+        assert sorted(ba) == sorted(bb)
+        for k in ba:
+            if isinstance(ba[k], np.ndarray):
+                np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+            else:
+                assert ba[k] == bb[k], k
+
+
+def _pipeline(coco_root, nns_path, **kw):
+    return UnSegData("train", coco_root, "cocostuff27", crop_type=None,
+                     loader_crop_type=kw.pop("loader_crop_type", "center"),
+                     res=32, pos_images=True, num_neighbors=3,
+                     nns_path=nns_path, **kw)
+
+
+@pytest.fixture(scope="module")
+def nns6(tmp_path_factory):
+    n = 6
+    nns = np.stack([np.roll(np.arange(n), -i)[:4] for i in range(n)])
+    path = str(tmp_path_factory.mktemp("nns") / "nns6.npz")
+    np.savez_compressed(path, nns=nns)
+    return path
+
+
+def test_native_loader_geometry_matches_pil(coco_root):
+    """C++ decode+resize+crop is bit-identical to the PIL transforms —
+    both modes, JPEG + PNG, incl. PIL's accumulated-step NEAREST
+    tie-breaks (320->224-style exact-boundary sizes)."""
+    from equss_tpu.data.native_loader import (load_image_batch,
+                                              load_label_batch)
+    from equss_tpu.data.transforms import load_label
+
+    imgs = [join(coco_root, "images", "train2017", f"train_{i:06d}.jpg")
+            for i in range(4)]
+    lbls = [join(coco_root, "annotations", "train2017",
+                 f"train_{i:06d}.png") for i in range(4)]
+    for mode, ct in (("center", "center"), ("none", "none")):
+        for res in (16, 21, 32):
+            want = np.stack([load_image(p, res, ct) for p in imgs])
+            got = load_image_batch(imgs, res, 2, mode)
+            np.testing.assert_array_equal(want, got)
+            wantl = np.stack([load_label(p, res, ct) for p in lbls])
+            gotl = load_label_batch(lbls, res, 2, mode)
+            np.testing.assert_array_equal(wantl, gotl.astype(np.int32))
+
+
+def test_native_loader_palette_and_rgb_png(tmp_path):
+    """Palette PNGs decode to INDICES (Pascal labels); RGB PNGs decode
+    like PIL convert('RGB') (Cityscapes images)."""
+    from equss_tpu.data.native_loader import (load_image_batch,
+                                              load_label_batch)
+    from equss_tpu.data.transforms import load_label
+
+    rng = np.random.RandomState(0)
+    pal = np.zeros(768, np.uint8)
+    pal[:90] = np.arange(90)
+    im = Image.fromarray(rng.randint(0, 21, (45, 61)).astype(np.uint8), "P")
+    im.putpalette(pal)
+    ppath = str(tmp_path / "pal.png")
+    im.save(ppath)
+    np.testing.assert_array_equal(
+        load_label(ppath, 32, "center"),
+        load_label_batch([ppath], 32, 1)[0].astype(np.int32))
+
+    rpath = str(tmp_path / "rgb.png")
+    Image.fromarray(rng.randint(0, 255, (40, 70, 3), np.uint8)).save(rpath)
+    np.testing.assert_array_equal(
+        load_image(rpath, 32, "center"),
+        load_image_batch([rpath], 32, 1)[0])
+
+
+def test_native_pipeline_matches_pil(coco_root, nns6):
+    """The batched native decode path yields bit-identical batches
+    (incl. kNN positive draws) to the per-item PIL path."""
+    pil = _pipeline(coco_root, nns6, native="off")
+    nat = _pipeline(coco_root, nns6, native="on")
+    assert nat._fast_batch_kind() == "native"
+    _assert_batches_equal(list(pil.batches(2, seed=11)),
+                          list(nat.batches(2, seed=11)))
+
+
+def test_native_pipeline_falls_back_on_bad_format(coco_root, nns6,
+                                                  tmp_path):
+    """native=auto falls back to PIL (permanently, identical outputs)
+    when the C++ decoders reject a file; native=on raises instead."""
+    # poison item 3 with a format only PIL can read (BMP)
+    bad = str(tmp_path / "bad.bmp")
+    Image.fromarray(np.full((8, 9, 3), 7, np.uint8)).save(bad, format="BMP")
+
+    def poison(pipe):
+        pipe.dataset.image_files = list(pipe.dataset.image_files)
+        pipe.dataset.image_files[3] = bad
+        return pipe
+
+    strict = poison(_pipeline(coco_root, nns6, native="on"))
+    with pytest.raises(IOError):
+        list(strict.batches(2, seed=0))
+
+    pil = poison(_pipeline(coco_root, nns6, native="off"))
+    auto = poison(_pipeline(coco_root, nns6, native="auto"))
+    assert auto._fast_batch_kind() == "native"
+    _assert_batches_equal(list(pil.batches(2, seed=0)),
+                          list(auto.batches(2, seed=0)))
+    assert auto._fast_batch_kind() is None        # permanently disabled
+
+
+def test_pack_job_and_packed_parity(coco_root, nns6, tmp_path):
+    """Packed memmap corpus serves bit-identical batches for center,
+    none and random loader crops; refuses mismatched geometry/files."""
+    from equss_tpu.data.cache import (PackedDataset, default_pack_base,
+                                      pack_dataset)
+    from equss_tpu.data.datasets import build_base_dataset
+
+    ds = build_base_dataset("cocostuff27", "train", coco_root, 32, None,
+                            loader_crop_type="center")
+    base = str(tmp_path / "pack_center")
+    pack_dataset(ds, base, log_every=0)
+
+    pil = _pipeline(coco_root, nns6, native="off")
+    packed = _pipeline(coco_root, nns6, pack="on", pack_path=base)
+    assert isinstance(packed.dataset, PackedDataset)
+    assert packed._fast_batch_kind() == "pack"
+    _assert_batches_equal(list(pil.batches(2, seed=5)),
+                          list(packed.batches(2, seed=5)))
+
+    # random loader crop: same shorter-geometry pack, item() path
+    pil_r = _pipeline(coco_root, nns6, native="off",
+                      loader_crop_type="random")
+    packed_r = _pipeline(coco_root, nns6, pack="on", pack_path=base,
+                         loader_crop_type="random")
+    assert packed_r._fast_batch_kind() is None
+    _assert_batches_equal(list(pil_r.batches(2, seed=5)),
+                          list(packed_r.batches(2, seed=5)))
+
+    # stretch geometry (val-style none crop)
+    ds_n = build_base_dataset("cocostuff27", "train", coco_root, 32, None,
+                              loader_crop_type="none")
+    base_n = str(tmp_path / "pack_none")
+    pack_dataset(ds_n, base_n, log_every=0)
+    pil_n = _pipeline(coco_root, nns6, native="off",
+                      loader_crop_type="none")
+    packed_n = _pipeline(coco_root, nns6, pack="on", pack_path=base_n,
+                         loader_crop_type="none")
+    _assert_batches_equal(list(pil_n.batches(2, seed=5)),
+                          list(packed_n.batches(2, seed=5)))
+
+    # mismatches refuse loudly under pack=on
+    with pytest.raises(ValueError):
+        _pipeline(coco_root, nns6, pack="on", pack_path=base,
+                  loader_crop_type="none")
+    with pytest.raises(FileNotFoundError):
+        _pipeline(coco_root, nns6, pack="on",
+                  pack_path=str(tmp_path / "missing"))
+    # default pack location is picked up automatically under pack=auto
+    auto_base = default_pack_base(coco_root, "cocostuff27", "train",
+                                  None, 32)
+    pack_dataset(ds, auto_base, log_every=0)
+    auto = _pipeline(coco_root, nns6)
+    assert isinstance(auto.dataset, PackedDataset)
