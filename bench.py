@@ -99,7 +99,8 @@ def main(argv=None):
     imgs_per_sec = batch * (n_iters - 1) / min(dts)
     median_ips = batch * (n_iters - 1) / sorted(dts)[len(dts) // 2]
     print(json.dumps({
-        "metric": "dense ViT-S/8 + PQ(64x256) inference images/sec/chip @224",
+        "metric": f"dense ViT-{'B' if args.model == 'vit_base' else 'S'}/8"
+                  " + PQ(64x256) inference images/sec/chip @224",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / A100_REFERENCE_IMGS_PER_SEC, 3),

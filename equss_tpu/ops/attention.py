@@ -215,9 +215,12 @@ def fused_attention_qkv(
         ),
         # the default 16 MB scoped-VMEM budget counts the double-buffered
         # whole-sequence k/v block twice; 32 MB keeps the single-fetch
-        # layout viable up to the 320^2 val resolution (npad 2048)
+        # layout viable up to the 320^2 val resolution (npad 2048) at
+        # ViT-S width.  ViT-B (C=768, 12 heads) needs ~44 MB at 224^2 —
+        # widen the budget with the channel count (v5e has 128 MB VMEM;
+        # the ViT-S program keeps the measured 32 MB envelope untouched)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=(96 if C >= 768 else 32) * 1024 * 1024),
         interpret=interpret,
     )(qkv_p, qkv_p)
     return out[:, :N]

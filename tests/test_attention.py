@@ -53,7 +53,11 @@ def test_vit_fused_attention_agrees_at_long_seq():
 
 
 @pytest.mark.parametrize("shape", [(2, 785, 6, 64), (1, 1601, 2, 64),
-                                   (1, 5, 2, 64)])
+                                   (1, 5, 2, 64),
+                                   # ViT-B width (C=768, 12 heads) — on
+                                   # real TPU this also needs the widened
+                                   # scoped-VMEM budget (PERF.md #17)
+                                   (1, 785, 12, 64)])
 def test_fused_attention_qkv_matches_xla(shape):
     from equss_tpu.ops.attention import fused_attention_qkv
 
