@@ -46,6 +46,14 @@ class TrainConfig:
     output_type: str = "vq0"     # 'feat' | 'vq0' (cfg['eval']['output_type'])
     num_classes: int = 27
     extra_classes: int = 0
+    # non-finite protection: skip the optimizer/state update on any step
+    # whose loss or gradients are inf/nan (the torch AMP GradScaler's
+    # found_inf step-skip, train.py:88-97, which bf16 training otherwise
+    # loses), and abort after `nonfinite_patience` consecutive PRINT
+    # intervals of skipped steps (permanent divergence — the reference
+    # would silently train on garbage forever)
+    skip_nonfinite: bool = True
+    nonfinite_patience: int = 3
 
     @staticmethod
     def from_config(cfg: Dict[str, Any]) -> "TrainConfig":
@@ -60,6 +68,8 @@ class TrainConfig:
             output_type=cfg.get("eval", {}).get("output_type", "vq0"),
             num_classes=cfg["num_classes"],
             extra_classes=cfg.get("eval", {}).get("extra_classes", 0),
+            skip_nonfinite=bool(t.get("skip_nonfinite", True)),
+            nonfinite_patience=int(t.get("nonfinite_patience", 3)),
         )
 
 
@@ -383,34 +393,59 @@ class Trainer:
         metrics["grad-norm"] = global_grad_norm(grads["model"])
 
         old_model = self._trainable(ts["params"])
-        up_m, opt_m = self.tx_model.update(
-            grads["model"], ts["opt"]["model"], old_model)
-        new_model = jax.tree.map(lambda p, u: p + u, old_model, up_m)
-        if "cluster_probe" in ts["probe_params"]:
-            up_c, opt_c = self.tx_cluster.update(
-                grads["probes"]["cluster_probe"], ts["opt"]["cluster"],
-                ts["probe_params"]["cluster_probe"],
-            )
-            new_cluster = jax.tree.map(
-                lambda p, u: p + u, ts["probe_params"]["cluster_probe"], up_c)
-        else:
-            opt_c = ts["opt"]["cluster"]
-            new_cluster = None
-        up_l, opt_l = self.tx_linear.update(
-            grads["probes"]["linear_probe"], ts["opt"]["linear"],
-            ts["probe_params"]["linear_probe"],
-        )
-        new_linear = jax.tree.map(
-            lambda p, u: p + u, ts["probe_params"]["linear_probe"], up_l)
 
-        new_probes = {"linear_probe": new_linear}
-        if new_cluster is not None:
-            new_probes["cluster_probe"] = new_cluster
+        def apply_updates(_):
+            up_m, opt_m = self.tx_model.update(
+                grads["model"], ts["opt"]["model"], old_model)
+            new_model = jax.tree.map(lambda p, u: p + u, old_model, up_m)
+            if "cluster_probe" in ts["probe_params"]:
+                up_c, opt_c = self.tx_cluster.update(
+                    grads["probes"]["cluster_probe"], ts["opt"]["cluster"],
+                    ts["probe_params"]["cluster_probe"],
+                )
+                new_cluster = jax.tree.map(
+                    lambda p, u: p + u,
+                    ts["probe_params"]["cluster_probe"], up_c)
+            else:
+                opt_c = ts["opt"]["cluster"]
+                new_cluster = None
+            up_l, opt_l = self.tx_linear.update(
+                grads["probes"]["linear_probe"], ts["opt"]["linear"],
+                ts["probe_params"]["linear_probe"],
+            )
+            new_linear = jax.tree.map(
+                lambda p, u: p + u, ts["probe_params"]["linear_probe"], up_l)
+
+            new_probes = {"linear_probe": new_linear}
+            if new_cluster is not None:
+                new_probes["cluster_probe"] = new_cluster
+            return (new_model, new_probes, new_mstate,
+                    {"model": opt_m, "cluster": opt_c, "linear": opt_l})
+
+        if self.tc.skip_nonfinite:
+            # AMP GradScaler found_inf analogue (train.py:88-97): a step
+            # whose loss or gradients are inf/nan leaves params, probes,
+            # model state AND optimizer state untouched, so one bad batch
+            # (or a transient bf16 overflow) cannot poison training.  The
+            # finite path runs the identical update math inside the cond;
+            # rng/step still advance so the data order is unchanged.
+            ok = (jnp.isfinite(loss)
+                  & jnp.isfinite(metrics["grad-norm"])
+                  & jnp.isfinite(global_grad_norm(grads["probes"])))
+            metrics["skipped"] = (~ok).astype(jnp.float32)
+            new_model, new_probes, new_mstate, new_opt = jax.lax.cond(
+                ok, apply_updates,
+                lambda _: (old_model, ts["probe_params"],
+                           ts["model_state"], ts["opt"]),
+                None)
+        else:
+            new_model, new_probes, new_mstate, new_opt = apply_updates(None)
+
         new_ts = {
             "params": dict(ts["params"], **new_model),
             "probe_params": new_probes,
             "model_state": new_mstate,
-            "opt": {"model": opt_m, "cluster": opt_c, "linear": opt_l},
+            "opt": new_opt,
             "step": ts["step"] + 1,
             "rng": rng,
         }
@@ -614,6 +649,13 @@ class Trainer:
         # run only (resumed states already trained past it, matching the
         # reference's need_initialized -> "none" latch, dino_pqgo.py:366)
         pending_data_init = self._needs_data_init and state is None
+        # non-finite divergence backstop: skipped steps are detected
+        # in-graph (see _train_step_impl); the host samples the flag at
+        # print intervals only (no extra device syncs on the hot path).
+        # A diverged run skips EVERY step deterministically, so sampled
+        # detection is reliable; `nonfinite_patience` consecutive skipped
+        # samples abort with the last good checkpoint named.
+        nonfinite_streak = 0
         for epoch in range(start_epoch, self.tc.max_epochs):
             t0 = time.time()
             # transfers overlap compute: the next batch device_puts while
@@ -630,6 +672,19 @@ class Trainer:
                     metrics["iter_time"] = (time.time() - t0) / self.tc.print_interval_iters
                     t0 = time.time()
                     logger.log(metrics, step=it)
+                    if metrics.get("skipped", 0.0) >= 1.0:
+                        nonfinite_streak += 1
+                        if nonfinite_streak >= self.tc.nonfinite_patience:
+                            ckpt = (f"; last saved checkpoint: iter "
+                                    f"{best.get('iter')}"
+                                    if checkpointer is not None
+                                    and "iter" in best else "")
+                            raise RuntimeError(
+                                f"training diverged: non-finite loss/grads "
+                                f"for {nonfinite_streak} consecutive "
+                                f"sampled steps (iter {it}){ckpt}")
+                    else:
+                        nonfinite_streak = 0
                 if it % self.tc.valid_interval_iters == 0:
                     val = self.validate(ts, val_batches())
                     logger.log(val, step=it)

@@ -295,3 +295,82 @@ def test_cluster_probe_log_probs_requires_alpha():
     # the softmax path still serves log-probs
     _, lp = probe.apply(params, x, alpha=2.0, log_probs=True)
     assert np.allclose(np.exp(np.asarray(lp)).sum(-1), 1.0, atol=1e-5)
+
+
+# --------------------------------------------- non-finite step protection
+
+def test_nonfinite_step_skips_update_and_recovers():
+    """A step with inf/nan loss or grads leaves params, probes, model
+    state and optimizer state untouched (AMP GradScaler found_inf
+    analogue, reference train.py:88-97); the next finite batch trains
+    normally."""
+    cfg = tiny_cfg()
+    trainer = _trainer(cfg)
+    ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(32, 32))
+    batch = next(iter(synthetic_batches(0, 1, batch_size=8, res=32)))
+
+    ts, m = trainer.train_step(ts, batch)          # clean warm step
+    assert float(m["skipped"]) == 0.0
+
+    head_before = jax.device_get(ts["params"]["head"])
+    opt_before = jax.device_get(ts["opt"]["model"])
+    step_before = int(ts["step"])
+
+    bad = dict(batch, img=np.full(np.shape(batch["img"]), np.inf,
+                                  np.float32))
+    ts, m = trainer.train_step(ts, bad)
+    assert float(m["skipped"]) == 1.0
+    for a, b in zip(jax.tree.leaves(head_before),
+                    jax.tree.leaves(jax.device_get(ts["params"]["head"]))):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree.leaves(opt_before),
+                    jax.tree.leaves(jax.device_get(ts["opt"]["model"]))):
+        np.testing.assert_array_equal(a, b)
+    # the loop still advances (data order unchanged)
+    assert int(ts["step"]) == step_before + 1
+
+    ts, m = trainer.train_step(ts, batch)          # recovery
+    assert float(m["skipped"]) == 0.0
+    assert np.isfinite(float(m["loss"]))
+    diff = sum(float(np.abs(a - b).sum()) for a, b in zip(
+        jax.tree.leaves(head_before),
+        jax.tree.leaves(jax.device_get(ts["params"]["head"]))))
+    assert diff > 0, "finite step after a skipped one did not train"
+
+
+def test_nonfinite_guard_opt_out():
+    """train.skip_nonfinite=false restores the unguarded step (no
+    'skipped' metric, nan propagates — the reference's non-AMP path)."""
+    cfg = tiny_cfg()
+    cfg["train"]["skip_nonfinite"] = False
+    trainer = _trainer(cfg)
+    ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(32, 32))
+    batch = next(iter(synthetic_batches(0, 1, batch_size=8, res=32)))
+    bad = dict(batch, img=np.full(np.shape(batch["img"]), np.inf,
+                                  np.float32))
+    ts, m = trainer.train_step(ts, bad)
+    assert "skipped" not in m
+    assert not np.isfinite(float(m["loss"]))
+
+
+def test_fit_aborts_on_divergence():
+    """Permanent divergence (every sampled step skipped for
+    nonfinite_patience print intervals) aborts loudly instead of
+    training garbage forever."""
+    cfg = tiny_cfg()
+    cfg["train"]["print_interval_iters"] = 1
+    cfg["train"]["valid_interval_iters"] = 1000
+    cfg["train"]["nonfinite_patience"] = 2
+    trainer = _trainer(cfg)
+
+    def bad_batches(epoch):
+        for b in synthetic_batches(epoch, 4, batch_size=8, res=32):
+            yield dict(b, img=np.full(np.shape(b["img"]), np.inf,
+                                      np.float32))
+
+    def val_batches():
+        return synthetic_batches(99, 1, batch_size=8, res=32,
+                                 with_pos=False)
+
+    with pytest.raises(RuntimeError, match="diverged"):
+        trainer.fit(bad_batches, val_batches, img_hw=(32, 32))
