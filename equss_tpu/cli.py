@@ -207,7 +207,7 @@ def run_pack_job(cfg: Dict[str, Any]) -> None:
             continue
         out = pack_dataset(ds, default_pack_base(
             d["data_dir"], d["dataset_name"], mode, d.get("crop_type"),
-            d["res"]))
+            d["res"], d.get("crop_ratio", 0.5)))
         print(f"packed {mode} corpus -> {out}")
 
 

@@ -36,24 +36,33 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-PACK_VERSION = 1
+PACK_VERSION = 2
 
 
 def _file_list_hash(image_files, label_files) -> str:
+    """Corpus identity = the trailing 4 path components of every file —
+    deep enough to include the corpus directory (e.g. the crop-ratio-
+    bearing ``cocostuff27_five_crop_0.5/img/train/0.jpg``), shallow
+    enough to survive a data_dir move.  Basenames alone could not tell
+    two CroppedDataset corpora of different crop_ratio apart (both list
+    ``0.jpg..N-1.jpg``)."""
     h = hashlib.sha1()
-    for p in image_files:
-        h.update(os.path.basename(p).encode())
-    for p in label_files:
-        h.update(os.path.basename(p).encode())
+    for p in list(image_files) + list(label_files):
+        h.update("/".join(os.path.normpath(p).split(os.sep)[-4:]).encode())
     return h.hexdigest()[:16]
 
 
 def default_pack_base(data_dir: str, dataset_name: str, mode: str,
-                      crop_type: Optional[str], res: int) -> str:
+                      crop_type: Optional[str], res: int,
+                      crop_ratio: float = 0.5) -> str:
     """Pack file base path (no extension) under data_dir/packed/ —
-    naming mirrors the nns cache convention (dataset_aug.py:483-489)."""
+    naming mirrors the nns cache convention (dataset_aug.py:483-489).
+    Cropped corpora (crop_type five/double) carry their crop_ratio so
+    ratio variants get distinct packs."""
+    crop = (f"{crop_type}_{crop_ratio}" if crop_type not in (None, "none")
+            else str(crop_type))
     return join(data_dir, "packed",
-                f"pack_{dataset_name}_{mode}_{crop_type}_{res}")
+                f"pack_{dataset_name}_{mode}_{crop}_{res}")
 
 
 def pack_dataset(dataset, out_base: str, *, limit: Optional[int] = None,
@@ -83,8 +92,15 @@ def pack_dataset(dataset, out_base: str, *, limit: Optional[int] = None,
         for i in range(n):
             img = Image.open(dataset.image_files[i]).convert("RGB")
             img = np.asarray(resize_shorter_np(img, target), np.uint8)
-            lbl = Image.open(dataset.label_files[i])
-            lbl = np.asarray(resize_shorter_np(lbl, target), np.uint8)
+            lbl = np.asarray(resize_shorter_np(
+                Image.open(dataset.label_files[i]), target))
+            if lbl.dtype != np.uint8 and (lbl.min() < 0 or lbl.max() > 255):
+                # e.g. 16-bit 'I'-mode label PNGs: a uint8 pack would
+                # silently corrupt ids — refuse instead
+                raise ValueError(
+                    f"label values outside uint8 at "
+                    f"{dataset.label_files[i]}; packing unsupported")
+            lbl = lbl.astype(np.uint8)
             if img.shape[:2] != lbl.shape[:2]:
                 raise ValueError(
                     f"image/label shape mismatch at {i}: "

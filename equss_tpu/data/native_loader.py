@@ -29,16 +29,25 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libimageloader.so")
 _MODES = {"center": 0, "none": 1}
 
 _lib: Optional[ctypes.CDLL] = None
+_load_error: Optional[Exception] = None
 
 
 def load_library() -> ctypes.CDLL:
-    global _lib
+    global _lib, _load_error
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True)
-    lib = ctypes.CDLL(_LIB_PATH)
+    if _load_error is not None:
+        # negative-cache a failed build/load: without this, native=auto
+        # would re-spawn a failing `make` on every epoch's batches() call
+        raise _load_error
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+    except Exception as e:
+        _load_error = e
+        raise
     u8out = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     lib.load_image_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,

@@ -75,13 +75,18 @@ class UnSegData:
             from equss_tpu.data.cache import (PackedDataset,
                                               default_pack_base)
             base_path = pack_path or default_pack_base(
-                data_dir, dataset_name, mode, crop_type, res)
+                data_dir, dataset_name, mode, crop_type, res, crop_ratio)
             if os.path.exists(base_path + ".bin"):
                 try:
                     self.dataset = PackedDataset(self.dataset, base_path)
-                except Exception:
+                except Exception as e:
                     if pack == "on":
                         raise
+                    import warnings
+                    warnings.warn(
+                        f"ignoring pack {base_path}.bin "
+                        f"({type(e).__name__}: {e}); decoding from source "
+                        f"files instead")
             elif pack == "on":
                 raise FileNotFoundError(
                     f"dataloader pack=on but no pack at {base_path}.bin; "
@@ -271,11 +276,17 @@ class UnSegData:
             elif fast == "native":
                 try:
                     batch = self._native_batch(idxs, seeds)
-                except Exception:
+                except Exception as e:
                     if self.native == "on":
                         raise
                     # e.g. a format the C++ decoders reject: fall back
-                    # to PIL permanently for this pipeline
+                    # to PIL permanently for this pipeline — loudly, so
+                    # the throughput drop is attributable
+                    import warnings
+                    warnings.warn(
+                        f"native batch decode failed "
+                        f"({type(e).__name__}: {e}); falling back to PIL "
+                        f"for the rest of this pipeline")
                     self._native_disabled = True
                     fast = None
             if batch is None:

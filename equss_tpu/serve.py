@@ -94,7 +94,15 @@ def export_predictor(trainer, ts: Dict[str, Any], img_hw,
               f"({type(e).__name__}: {str(e).splitlines()[0][:160]}); "
               f"pinning batch_size={batch_size}")
         spec = jax.ShapeDtypeStruct((batch_size, *img_hw, 3), jnp.float32)
-        return jax.export.export(predict, **kw)(spec)
+        try:
+            return jax.export.export(predict, **kw)(spec)
+        except Exception as e2:
+            if type(e2) is type(e) and str(e2) == str(e):
+                # identical failure with a concrete batch: the problem
+                # was never shape polymorphism — surface the real error
+                # instead of the misattributed fallback message above
+                raise e2 from None
+            raise
     _warn_symbolic_hbm_bound(trainer, img_hw)
     return exported
 

@@ -35,6 +35,18 @@ namespace {
 // decoders
 // ---------------------------------------------------------------------
 
+// libjpeg's default error_exit calls exit() — fatal for the host
+// process (the trainer).  Route errors through setjmp like the PNG
+// decoder, so a corrupt file is a per-item failure, not a crash.
+struct JpegErr {
+    jpeg_error_mgr mgr;
+    jmp_buf jmp;
+};
+
+void jpeg_error_longjmp(j_common_ptr cinfo) {
+    longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jmp, 1);
+}
+
 // decode a JPEG file; channels_out is 3 (RGB, also for gray JPEGs when
 // want_rgb) or 1 (grayscale output of a grayscale JPEG). Returns false
 // on failure.
@@ -43,8 +55,14 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>& data,
     FILE* f = std::fopen(path, "rb");
     if (!f) return false;
     jpeg_decompress_struct cinfo;
-    jpeg_error_mgr jerr;
-    cinfo.err = jpeg_std_error(&jerr);
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_error_longjmp;
+    if (setjmp(jerr.jmp)) {
+        jpeg_destroy_decompress(&cinfo);
+        std::fclose(f);
+        return false;
+    }
     jpeg_create_decompress(&cinfo);
     jpeg_stdio_src(&cinfo, f);
     if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
@@ -123,12 +141,14 @@ bool decode_png(const char* path, std::vector<uint8_t>& data,
         png_set_strip_alpha(png);
         *channels = 3;
     } else {
-        // raw label channel: palette INDICES or 8-bit gray only
+        // raw label channel: palette INDICES or 8-bit gray only.  16-bit
+        // gray is REJECTED (PIL decodes it as int32 'I' mode with values
+        // possibly > 255 — stripping to 8 bits would silently corrupt
+        // ids; rejection routes the file to the PIL fallback instead).
         if (color_type == PNG_COLOR_TYPE_PALETTE) {
             if (bit_depth < 8) png_set_packing(png);  // 1 byte / index
-        } else if (color_type == PNG_COLOR_TYPE_GRAY) {
+        } else if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth <= 8) {
             if (bit_depth < 8) png_set_expand_gray_1_2_4_to_8(png);
-            if (bit_depth == 16) png_set_strip_16(png);
         } else {
             longjmp(png_jmpbuf(png), 1);  // not a label-shaped PNG
         }

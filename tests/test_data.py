@@ -383,3 +383,72 @@ def test_pack_job_and_packed_parity(coco_root, nns6, tmp_path):
     pack_dataset(ds, auto_base, log_every=0)
     auto = _pipeline(coco_root, nns6)
     assert isinstance(auto.dataset, PackedDataset)
+
+
+# ------------------------------------------------- review-finding regressions
+
+def test_native_loader_survives_corrupt_files(coco_root, tmp_path):
+    """Corrupt JPEG/PNG bytes must be per-item failures (libjpeg's
+    default error_exit would kill the process), and IOError — not a
+    crash — is the batch-level contract."""
+    from equss_tpu.data.native_loader import load_image_batch
+
+    bad_jpg = str(tmp_path / "bad.jpg")
+    with open(bad_jpg, "wb") as f:       # valid SOI marker, garbage body
+        f.write(b"\xff\xd8" + b"\x13\x37" * 200)
+    bad_png = str(tmp_path / "bad.png")
+    with open(bad_png, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    good = join(coco_root, "images", "train2017", "train_000000.jpg")
+    for bad in (bad_jpg, bad_png):
+        with pytest.raises(IOError):
+            load_image_batch([good, bad], 16, 2)
+
+
+def test_native_loader_rejects_16bit_labels(tmp_path):
+    """16-bit gray label PNGs decode as int32 via PIL; the native path
+    must refuse them (stripping to 8 bits silently corrupts ids)."""
+    from equss_tpu.data.native_loader import load_label_batch
+
+    arr = (np.arange(32 * 32, dtype=np.uint32).reshape(32, 32) % 1000)
+    p = str(tmp_path / "wide.png")
+    Image.fromarray(arr.astype(np.int32), mode="I").save(p, bits=16)
+    with pytest.raises(IOError):
+        load_label_batch([p], 16, 1)
+
+
+def test_pack_identity_distinguishes_crop_ratio(tmp_path):
+    """Pack naming + file-list hash must tell crop-ratio corpus variants
+    apart (both list 0.jpg..N-1.jpg)."""
+    from equss_tpu.data.cache import _file_list_hash, default_pack_base
+
+    assert default_pack_base("/d", "cocostuff27", "train", "five", 224,
+                             0.5) != \
+        default_pack_base("/d", "cocostuff27", "train", "five", 224, 0.7)
+    a = ["/d/cropped/co_five_crop_0.5/img/train/0.jpg"]
+    b = ["/d/cropped/co_five_crop_0.7/img/train/0.jpg"]
+    assert _file_list_hash(a, a) != _file_list_hash(b, b)
+    # and a data_dir move does NOT invalidate a pack
+    moved = ["/elsewhere/cropped/co_five_crop_0.5/img/train/0.jpg"]
+    assert _file_list_hash(a, a) == _file_list_hash(moved, moved)
+
+
+def test_pack_dataset_rejects_wide_labels(coco_root, tmp_path):
+    """pack_dataset must refuse label values outside uint8 instead of
+    silently truncating them into the pack."""
+    from equss_tpu.data.cache import pack_dataset
+    from equss_tpu.data.datasets import build_base_dataset
+
+    ds = build_base_dataset("cocostuff27", "train", coco_root, 32, None,
+                            0.5, "center", 0)
+    wide = (np.arange(40 * 40, dtype=np.int32).reshape(40, 40) % 1000)
+    # coco_root is module-scoped — restore the label so test order
+    # doesn't matter
+    original = open(ds.label_files[0], "rb").read()
+    try:
+        Image.fromarray(wide, mode="I").save(ds.label_files[0], bits=16)
+        with pytest.raises(ValueError, match="outside uint8"):
+            pack_dataset(ds, str(tmp_path / "p"), log_every=0)
+    finally:
+        with open(ds.label_files[0], "wb") as f:
+            f.write(original)

@@ -103,6 +103,10 @@ def main() -> None:
     trainer = Trainer(cfg)
     ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(224, 224))
 
+    if args.n < args.batch:
+        raise SystemExit(f"--n {args.n} < --batch {args.batch}: the train "
+                         f"loop would yield zero (drop_last) batches")
+
     def run_epochs(data, tag):
         nonlocal ts
         rates = []
