@@ -645,6 +645,13 @@ class Trainer:
         # schedules use (a mismatched source/default here could compute
         # start_epoch >= max_epochs and silently skip training)
         start_epoch = it // self.iter_per_epoch if state is not None else 0
+        # exact mid-epoch resume: the data order of an epoch is a pure
+        # function of (seed, epoch), so skipping the first it%ipe batches
+        # replays the interrupted epoch from the exact step the
+        # checkpoint froze — no batch is trained twice.  (The reference's
+        # resume can't do this at all: it jumps straight to final eval,
+        # train.py:428-432.)
+        skip_batches = it % self.iter_per_epoch if state is not None else 0
         # data-dependent codebook/bank init on the FIRST batch of a fresh
         # run only (resumed states already trained past it, matching the
         # reference's need_initialized -> "none" latch, dino_pqgo.py:366)
@@ -658,10 +665,14 @@ class Trainer:
         nonfinite_streak = 0
         for epoch in range(start_epoch, self.tc.max_epochs):
             t0 = time.time()
+            epoch_iter = iter(train_batches(epoch))
+            if epoch == start_epoch and skip_batches:
+                import itertools
+                epoch_iter = itertools.islice(epoch_iter, skip_batches, None)
             # transfers overlap compute: the next batch device_puts while
             # the current step runs (train.py:66-70 non_blocking analogue)
             for batch in device_prefetch(
-                    map(self._host_trim, train_batches(epoch)), self.mesh):
+                    map(self._host_trim, epoch_iter), self.mesh):
                 if pending_data_init:
                     ts = self._data_init(ts, batch)
                     pending_data_init = False

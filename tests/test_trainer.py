@@ -374,3 +374,45 @@ def test_fit_aborts_on_divergence():
 
     with pytest.raises(RuntimeError, match="diverged"):
         trainer.fit(bad_batches, val_batches, img_hw=(32, 32))
+
+
+def test_mid_epoch_resume_is_bit_exact():
+    """Resuming from a mid-epoch checkpoint replays the interrupted
+    epoch from the exact step (data order is a pure function of
+    (seed, epoch)) — final params match an uninterrupted run exactly,
+    no batch trained twice."""
+    def make(n_batches=6):
+        cfg = tiny_cfg()
+        cfg["train"]["max_epochs"] = 1
+        cfg["train"]["valid_interval_iters"] = 1000
+        cfg["_iter_per_epoch"] = n_batches
+        return _trainer(cfg), n_batches
+
+    def train_batches(epoch):
+        return synthetic_batches(epoch, 6, batch_size=8, res=32)
+
+    def val_batches():
+        return synthetic_batches(99, 1, batch_size=8, res=32,
+                                 with_pos=False)
+
+    # uninterrupted: fit the full epoch
+    trainer, n = make()
+    full = trainer.fit(train_batches, val_batches, img_hw=(32, 32))
+    full_params = jax.device_get(full["state"]["params"])
+
+    # interrupted: 3 manual steps (what fit would run), then resume
+    trainer2, _ = make()
+    ts = trainer2.init_state(jax.random.PRNGKey(trainer2.tc.seed),
+                             img_hw=(32, 32))
+    for batch in list(train_batches(0))[:3]:
+        ts, _ = trainer2.train_step(ts, batch)
+    ckpt = jax.device_get(ts)                    # "checkpoint"
+    trainer3, _ = make()
+    resumed = trainer3.fit(train_batches, val_batches, img_hw=(32, 32),
+                           state=ckpt)
+    res_params = jax.device_get(resumed["state"]["params"])
+
+    assert int(resumed["state"]["step"]) == int(full["state"]["step"]) == 6
+    for a, b in zip(jax.tree.leaves(full_params),
+                    jax.tree.leaves(res_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
