@@ -20,20 +20,30 @@ class ProbeOnlyConfig:
     model_type: str = "vit_small"
     patch_size: int = 8
     backbone_dtype: Any = jnp.float32
+    attn_bf16: bool = False
+    gelu: Any = None
 
     @staticmethod
-    def from_config(cfg: Dict[str, Any], dtype=jnp.float32) -> "ProbeOnlyConfig":
+    def from_config(cfg: Dict[str, Any], dtype=None) -> "ProbeOnlyConfig":
         pre = cfg["model"]["pretrained"]
+        # same autocast-analogue derivation as EQUSSConfig.from_config
+        precision = pre.get("precision", "f32")
+        if dtype is None:
+            dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
         return ProbeOnlyConfig(model_type=pre["model_type"],
                                patch_size=pre["dino_patch_size"],
-                               backbone_dtype=dtype)
+                               backbone_dtype=dtype,
+                               attn_bf16=(precision == "bf16"),
+                               gelu=pre.get("gelu"))
 
 
 class ProbeOnlyModel:
     def __init__(self, cfg: ProbeOnlyConfig):
         self.cfg = cfg
         self.vit_cfg = make_vit_config(cfg.model_type, cfg.patch_size,
-                                       dtype=cfg.backbone_dtype)
+                                       dtype=cfg.backbone_dtype,
+                                       attn_bf16=cfg.attn_bf16,
+                                       gelu=cfg.gelu)
         self.backbone = VisionTransformer(self.vit_cfg)
         self.feat_dim = self.vit_cfg.embed_dim
 

@@ -27,11 +27,20 @@ class STEGOConfig:
     drop_prob: float = 0.1
     freeze_backbone: bool = True
     backbone_dtype: Any = jnp.float32
+    attn_bf16: bool = False
+    gelu: Any = None
     stego: StegoLossConfig = dataclasses.field(default_factory=StegoLossConfig)
 
     @staticmethod
-    def from_config(cfg: Dict[str, Any], dtype=jnp.float32) -> "STEGOConfig":
+    def from_config(cfg: Dict[str, Any], dtype=None) -> "STEGOConfig":
         pre = cfg["model"]["pretrained"]
+        # model.pretrained.precision: 'f32' (default) | 'bf16' — same
+        # autocast-analogue derivation as EQUSSConfig.from_config (this
+        # was previously ignored here: the stego backbone silently ran
+        # f32 einsum attention under a config claiming bf16)
+        precision = pre.get("precision", "f32")
+        if dtype is None:
+            dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
         # stego.yaml puts the loss knobs directly under cfg['loss']
         loss_cfg = cfg["loss"].get("stego", cfg["loss"])
         return STEGOConfig(
@@ -42,6 +51,8 @@ class STEGOConfig:
             drop_prob=pre.get("drop_prob", 0.1),
             freeze_backbone=pre.get("freeze_backbone", True),
             backbone_dtype=dtype,
+            attn_bf16=(precision == "bf16"),
+            gelu=pre.get("gelu"),
             stego=stego_config_from_dict(loss_cfg),
         )
 
@@ -52,7 +63,9 @@ class STEGOModel:
     def __init__(self, cfg: STEGOConfig):
         self.cfg = cfg
         self.vit_cfg = make_vit_config(cfg.model_type, cfg.patch_size,
-                                       dtype=cfg.backbone_dtype)
+                                       dtype=cfg.backbone_dtype,
+                                       attn_bf16=cfg.attn_bf16,
+                                       gelu=cfg.gelu)
         self.backbone = VisionTransformer(self.vit_cfg)
         self.head = ExpansionHead(cfg.dim)
         self.feat_dim = self.vit_cfg.embed_dim

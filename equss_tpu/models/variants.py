@@ -68,9 +68,17 @@ class _BackboneMixin:
     # (the reference dataset emits it per sample, dataset_aug.py:507-529).
     consumes_aug = False
 
-    def _setup_backbone(self, pre: Dict[str, Any], dtype=jnp.float32):
+    def _setup_backbone(self, pre: Dict[str, Any], dtype=None):
+        # model.pretrained.precision: 'f32' (default) | 'bf16' — same
+        # autocast-analogue derivation as EQUSSConfig.from_config (was
+        # previously ignored by every variant: their backbones silently
+        # ran f32 einsum attention under configs claiming bf16)
+        precision = pre.get("precision", "f32")
+        if dtype is None:
+            dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
         self.vit_cfg = make_vit_config(pre["model_type"],
                                        pre["dino_patch_size"], dtype=dtype,
+                                       attn_bf16=(precision == "bf16"),
                                        gelu=pre.get("gelu"))
         self.backbone = VisionTransformer(self.vit_cfg)
         self.feat_dim = self.vit_cfg.embed_dim

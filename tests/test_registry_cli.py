@@ -99,6 +99,31 @@ def test_shipped_configs_resolve_and_build():
             build_model(cfg)    # cheap builds only
 
 
+def test_precision_reaches_every_model_family_backbone():
+    """model.pretrained.precision must configure the backbone dtype AND
+    the fused-attention gate for EVERY family — stego/probe/variants
+    silently ignored it before (f32 einsum attention under configs
+    claiming bf16; 50.7 -> 19.4 ms stego step once honored)."""
+    import glob
+
+    import jax.numpy as jnp
+
+    checked = 0
+    for path in glob.glob("configs/*.yaml"):
+        cfg = resolve_config(load_config(path))
+        precision = cfg["model"]["pretrained"].get("precision", "f32")
+        cfg["model"]["pretrained"]["model_type"] = "vit_micro"
+        model = build_model(cfg)
+        vit_cfg = getattr(model, "vit_cfg", None)
+        if vit_cfg is None:       # composite models expose the student's
+            vit_cfg = model.student.vit_cfg
+        want = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        assert vit_cfg.dtype == want, (path, vit_cfg.dtype)
+        assert vit_cfg.attn_bf16 == (precision == "bf16"), path
+        checked += 1
+    assert checked >= 20
+
+
 def test_cli_smoke(tmp_path):
     from equss_tpu.cli import main
 
