@@ -87,3 +87,24 @@ def test_cli_export_job(tmp_path):
     predict = serve.load_predictor(out)
     res = predict(np.zeros((1, 16, 16, 3), np.float32))
     assert res["linear_preds"].shape == (1, 16, 16)
+
+
+def test_export_stego_family(tmp_path):
+    """export_predictor is model-agnostic: the stego family (no
+    quantizer, 70-dim conv head) exports and round-trips too."""
+    cfg = tiny_cfg(output_type="feat")
+    cfg["model"]["name"] = "stego"
+    cfg["model"]["pretrained"]["dim"] = 16
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = jax.device_get(
+        trainer.init_state(jax.random.PRNGKey(0), img_hw=(16, 16)))
+    exported = serve.export_predictor(trainer, ts, (16, 16))
+    path = serve.save_predictor(exported, str(tmp_path / "stego.eqx"))
+    predict = serve.load_predictor(path)
+    img = np.random.RandomState(1).rand(2, 16, 16, 3).astype(np.float32)
+    out = predict(img)
+    live = jax.jit(serve.build_predict_fn(trainer, ts))(img)
+    for k in ("cluster_preds", "linear_preds"):
+        assert out[k].shape == (2, 16, 16)
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(live[k]))
