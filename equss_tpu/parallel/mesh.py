@@ -161,6 +161,50 @@ def shard_quantizer(mesh: Mesh, params: Dict[str, Any],
     return place(params), place(model_state)
 
 
+def shard_backbone(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
+    """Megatron-style tensor parallelism for the ViT MLPs over the
+    'model' axis: each block's fc1 shards its OUTPUT (hidden) dim and
+    fc2 its INPUT dim, so every device computes hidden/TP of every MLP
+    locally and GSPMD inserts exactly one reduce per block for the fc2
+    partial sums.  Composes with ``shard_quantizer`` on the same 2-D
+    (data, model) mesh.
+
+    The qkv/proj attention projections stay replicated: the transpose-
+    free fused layout keeps q|k|v packed in one (C, 3C) kernel
+    (ops/attention.py), which cannot be head-sharded without a layout
+    change — and at ViT-S/B scale the MLP holds ~2/3 of the block
+    weight FLOPs, so MLP TP is where the sharding pays.
+
+    Outputs match the replicated layout to f32 reduction-order
+    tolerance (the fc2 contraction is split across shards); codeword
+    INDICES remain bit-identical in practice because assignments sit
+    far from decision boundaries relative to ~1e-6 feature noise, but
+    strict bit-parity runs should keep the backbone replicated.
+    """
+    if "model" not in mesh.axis_names:
+        return jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), params)
+    tp = int(dict(mesh.shape)["model"])
+    rep = NamedSharding(mesh, P())
+
+    def f(path, x):
+        names = [getattr(p, "key", "") for p in path]
+        if len(names) >= 3 and names[-3] == "mlp":
+            layer, leaf = names[-2], names[-1]
+            if layer == "fc1" and leaf == "kernel" and x.ndim == 2 \
+                    and x.shape[1] % tp == 0:
+                return jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+            if layer == "fc1" and leaf == "bias" and x.ndim == 1 \
+                    and x.shape[0] % tp == 0:
+                return jax.device_put(x, NamedSharding(mesh, P("model")))
+            if layer == "fc2" and leaf == "kernel" and x.ndim == 2 \
+                    and x.shape[0] % tp == 0:
+                return jax.device_put(x, NamedSharding(mesh, P("model", None)))
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
 def device_prefetch(batches, mesh: Mesh, depth: int = 2,
                     axis_name: str = "data"):
     """Iterator wrapper that device_puts `depth` batches ahead ON A

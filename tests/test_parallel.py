@@ -72,6 +72,46 @@ def test_quantizer_tensor_parallel_bit_identical():
                                float(aux_tp["vq-loss"]), rtol=1e-6)
 
 
+def test_backbone_tensor_parallel_matches_replicated():
+    """ViT MLP tensor parallelism (fc1 column-/fc2 row-sharded over
+    'model') matches the replicated forward to f32 reduction-order
+    tolerance, with bit-identical codeword indices on this input."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from equss_tpu.models.equss import EQUSS, EQUSSConfig
+    from equss_tpu.ops.quantizer import PQConfig
+    from equss_tpu.parallel.mesh import make_mesh_2d, shard_backbone
+
+    cfg = EQUSSConfig(
+        model_type="vit_micro", patch_size=8, hidden_dim=64, dropout=False,
+        pq=PQConfig(num_pq=8, num_codebook=16, embed_dim=64,
+                    vq_type="param", normalize="l2"),
+    )
+    model = EQUSS(cfg)
+    params, state = model.init(jax.random.PRNGKey(0), img_hw=(16, 16))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (8, 16, 16, 3))
+
+    fwd = jax.jit(lambda p, s, im: model.apply(p, s, im, training=False)[0])
+    ref = fwd(params, state, img)
+
+    mesh = make_mesh_2d(2, 2)
+    p_sh = shard_backbone(mesh, params)
+    # the MLP kernels actually carry the TP layout...
+    fc1 = p_sh["backbone"]["blocks_0"]["mlp"]["fc1"]["kernel"]
+    fc2 = p_sh["backbone"]["blocks_0"]["mlp"]["fc2"]["kernel"]
+    assert fc1.sharding.spec == P(None, "model")
+    assert fc2.sharding.spec == P("model", None)
+    # ...and everything else stays replicated
+    assert p_sh["backbone"]["blocks_0"]["attn"]["qkv"]["kernel"].sharding.spec == P()
+    img_sh = jax.device_put(img, NamedSharding(mesh, P("data")))
+    out = fwd(p_sh, state, img_sh)
+
+    np.testing.assert_array_equal(np.asarray(ref["indices"]),
+                                  np.asarray(out["indices"]))
+    np.testing.assert_allclose(np.asarray(ref["z_q"]), np.asarray(out["z_q"]),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_mesh_overrequest_raises():
     import pytest
 
