@@ -31,6 +31,8 @@ def _make_batch_fns(cfg: Dict[str, Any]):
     """Return (train_batches(epoch), val_batches()) callables."""
     seed = cfg.get("seed", 0)
     if cfg.get("dataset", {}).get("synthetic"):
+        import jax
+
         from equss_tpu.data.synthetic import synthetic_batches
 
         res = cfg["dataset"]["train"]["res"]
@@ -39,13 +41,16 @@ def _make_batch_fns(cfg: Dict[str, Any]):
         vbs = cfg["dataloader"]["val"]["batch_size"]
         nb = cfg["dataset"].get("synthetic_batches", 16)
         ncls = cfg["num_classes"]
+        pi, pc = jax.process_index(), jax.process_count()
 
         def train_batches(epoch):
-            return synthetic_batches(seed + epoch, nb, bs, res, ncls)
+            return synthetic_batches(seed + epoch, nb, bs, res, ncls,
+                                     process_index=pi, process_count=pc)
 
         def val_batches():
             return synthetic_batches(seed + 10_000, max(nb // 4, 1), vbs,
-                                     vres, ncls, with_pos=False)
+                                     vres, ncls, with_pos=False,
+                                     process_index=pi, process_count=pc)
 
         cfg["_iter_per_epoch"] = nb      # cosine-schedule horizon
         return train_batches, val_batches, res
@@ -284,6 +289,44 @@ def run_export_job(cfg: Dict[str, Any]) -> str:
     return out_path
 
 
+def _maybe_init_distributed(cfg: Dict[str, Any]) -> None:
+    """Multi-host bring-up from dotlist flags or environment — the
+    torchrun-rank analogue (/root/reference/utils/dist_utils.py:33-41).
+
+    Launch recipe, one command per host:
+
+        python -m equss_tpu.cli --config X.yaml \
+            dist.coordinator=HOST0:1234 dist.num_processes=N \
+            dist.process_id=<rank>
+
+    or via env: EQUSS_COORDINATOR / EQUSS_NUM_PROCESSES /
+    EQUSS_PROCESS_ID.  Must run before anything touches the jax backend;
+    afterwards build_data shards the dataset per process and
+    mesh.shard_batch assembles global batches from the local slices.
+    On TPU pods where the runtime knows the topology, plain
+    ``jax.distributed.initialize()`` with no arguments also works —
+    pass dist.auto=true for that.
+    """
+    dist = cfg.get("dist", {}) or {}
+    if dist.get("auto"):
+        import jax
+
+        jax.distributed.initialize()
+        return
+    nproc = dist.get("num_processes", os.environ.get("EQUSS_NUM_PROCESSES"))
+    if not nproc or int(nproc) <= 1:
+        return
+    from equss_tpu.parallel.mesh import init_distributed
+
+    init_distributed(
+        coordinator=dist.get("coordinator",
+                             os.environ.get("EQUSS_COORDINATOR")),
+        num_processes=int(nproc),
+        process_id=int(dist.get("process_id",
+                                os.environ.get("EQUSS_PROCESS_ID"))),
+    )
+
+
 def main(argv: Optional[List[str]] = None):
     import sys as _sys
 
@@ -295,6 +338,7 @@ def main(argv: Optional[List[str]] = None):
     if argv and argv[0] in ("train", "crop", "knn", "export", "pack"):
         job = argv.pop(0)
     cfg, _ = prepare_config(argv)
+    _maybe_init_distributed(cfg)
     set_seed(cfg.get("seed", 0))
     if job == "crop":
         return run_crop_job(cfg)

@@ -23,11 +23,17 @@ the GIL entirely.  ``native`` is "auto" (use when the library loads and
 the corpus decodes cleanly; fall back to PIL otherwise), "on" (fail
 loudly), or "off".
 
-There is no DistributedSampler: under pjit the GLOBAL batch is assembled
-on the host and sharded over the mesh's data axis by the trainer, which
-is the JAX-native replacement for per-rank batch slicing
-(build.py:183-198).  Multi-host setups slice image lists per process
-before constructing the pipeline.
+There is no DistributedSampler object: single-process, the GLOBAL batch
+is assembled on the host and sharded over the mesh's data axis by the
+trainer.  Multi-process (jax.distributed), ``process_index``/
+``process_count`` make each process draw the IDENTICAL global epoch
+order + per-item seeds (pure functions of the epoch seed) and then
+materialize only its contiguous row-slice of every global batch — the
+JAX-native equivalent of DistributedSampler + batch//world slicing
+(/root/reference/build.py:183-198); ``mesh.shard_batch`` assembles the
+global jax.Array from the per-process slices.  Ragged final batches are
+padded by wrap-around, matching DistributedSampler's duplication
+semantics.
 """
 from __future__ import annotations
 
@@ -61,12 +67,20 @@ class UnSegData:
         native: str = "auto",
         pack: str = "auto",
         pack_path: Optional[str] = None,
+        process_index: int = 0,
+        process_count: int = 1,
     ) -> None:
         self.mode = mode
         self.pos_images = pos_images
         self.num_neighbors = num_neighbors
         self.num_workers = num_workers
         self.native = native
+        if not (0 <= process_index < process_count):
+            raise ValueError(
+                f"process_index {process_index} out of range for "
+                f"process_count {process_count}")
+        self.process_index = process_index
+        self.process_count = process_count
         self.dataset = build_base_dataset(
             dataset_name, mode, data_dir, res, crop_type, crop_ratio,
             loader_crop_type, seed,
@@ -270,6 +284,21 @@ class UnSegData:
             # epoch rng, so crops/neighbor picks are reproducible no
             # matter how threads interleave (or which decode path runs)
             seeds = rng.randint(0, 2**31 - 1, size=len(idxs))
+            if self.process_count > 1:
+                # every process draws the identical global (idxs, seeds),
+                # pads a ragged tail by wrap-around (DistributedSampler
+                # duplication semantics, build.py:183-198), and
+                # materializes only its contiguous row slice — the rows
+                # its own devices hold under shard_batch's global array
+                rem = len(idxs) % self.process_count
+                if rem:
+                    pad = self.process_count - rem
+                    idxs = np.concatenate([idxs, idxs[:pad]])
+                    seeds = np.concatenate([seeds, seeds[:pad]])
+                local = len(idxs) // self.process_count
+                lo = self.process_index * local
+                idxs = idxs[lo: lo + local]
+                seeds = seeds[lo: lo + local]
             batch = None
             if fast == "pack":
                 batch = self._pack_batch(idxs, seeds)
@@ -344,7 +373,11 @@ class UnSegData:
 
 def build_data(cfg: Dict[str, Any], mode: str, seed: int = 0) -> UnSegData:
     """cfg['dataset'][mode] -> UnSegData (build.py:148-164 contract);
-    cfg['dataloader'][mode]['num_workers'] maps to decode threads."""
+    cfg['dataloader'][mode]['num_workers'] maps to decode threads.
+    Under multi-process JAX (cli dist.* flags -> init_distributed) the
+    pipeline auto-shards per process (DistributedSampler analogue)."""
+    import jax
+
     d = cfg["dataset"][mode]
     # adaptive default: decode threads only help with spare cores — on a
     # 1-core host the GIL ping-pong with the dispatch/transfer threads
@@ -355,6 +388,8 @@ def build_data(cfg: Dict[str, Any], mode: str, seed: int = 0) -> UnSegData:
                          min(8, cpus - 1) if cpus > 1 else 0)
     return UnSegData(
         num_workers=workers,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
         native=str(dl_cfg.get("native", "auto")),
         pack=str(dl_cfg.get("pack", "auto")),
         pack_path=dl_cfg.get("pack_path"),

@@ -21,7 +21,18 @@ def synthetic_batches(
     res: int = 64,
     num_classes: int = 4,
     with_pos: bool = True,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
+    """``batch_size`` is the GLOBAL batch; with process_count > 1 every
+    process generates the identical global stream (same seed) and yields
+    only its contiguous row slice — the multi-host data contract of
+    ``mesh.shard_batch`` (DistributedSampler analogue, build.py:183-198)."""
+    if batch_size % process_count:
+        raise ValueError(f"global batch {batch_size} not divisible by "
+                         f"{process_count} processes")
+    lo = process_index * (batch_size // process_count)
+    hi = lo + batch_size // process_count
     rng = np.random.RandomState(seed)
     for _ in range(n_batches):
         # blockwise "segments": class id per 8x8 cell, image = class-coded
@@ -39,4 +50,6 @@ def synthetic_batches(
             pos = img + 0.05 * rng.randn(*img.shape)
             batch["img_pos"] = pos.astype(np.float32)
             batch["aug_img"] = (img + 0.05 * rng.randn(*img.shape)).astype(np.float32)
+        if process_count > 1:
+            batch = {k: v[lo:hi] for k, v in batch.items()}
         yield batch

@@ -60,10 +60,21 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any],
                 axis_name: str = "data") -> Dict[str, Any]:
     """Place a host batch dict onto the mesh, sharded along dim 0.
 
+    Single process: the batch is the GLOBAL batch; device_put splits it
+    over the local devices.  Multi-process (jax.distributed initialized):
+    each process passes its LOCAL slice of the global batch — the rows
+    its own devices will hold — and ``make_array_from_process_local_data``
+    assembles the global jax.Array without any cross-host copy.  This is
+    the GSPMD replacement for the reference's DistributedSampler +
+    per-rank batch//world division (/root/reference/build.py:183-198):
+    the per-process slicing itself lives in the data pipeline
+    (data/pipeline.py process_index/process_count; data/synthetic.py).
+
     Non-array entries (e.g. the img_path lists real-file datasets carry,
     dataset_aug.py:512-516) are dropped — they stay host-side and never
     enter jit."""
     sh = batch_sharding(mesh, axis_name)
+    multiproc = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if hasattr(v, "dtype") and getattr(v, "dtype").kind not in ("U", "S", "O"):
@@ -74,14 +85,30 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any],
             if isinstance(v, jax.Array) and not v.is_deleted() \
                     and v.sharding.is_equivalent_to(sh, v.ndim):
                 out[k] = v
+            elif multiproc:
+                out[k] = jax.make_array_from_process_local_data(
+                    sh, np.asarray(v))
             else:
                 out[k] = jax.device_put(v, sh)
     return out
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
-    """Fully replicate a pytree (params/state) across the mesh."""
+    """Fully replicate a pytree (params/state) across the mesh.
+
+    Multi-process: every process must hold the SAME host value (true for
+    deterministic inits from a shared PRNGKey and for restored
+    checkpoints); the replicated global array is assembled from each
+    process's local copy without network traffic."""
     sh = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        def lift(x):
+            if isinstance(x, jax.Array) and x.sharding.is_equivalent_to(
+                    sh, x.ndim):
+                return x
+            return jax.make_array_from_process_local_data(
+                sh, np.asarray(jax.device_get(x)))
+        return jax.tree.map(lift, tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 

@@ -703,7 +703,8 @@ class Trainer:
                         best = dict(val)
                         best["epoch"] = epoch
                         best["iter"] = it
-                        if checkpointer is not None:
+                        if checkpointer is not None \
+                                and jax.process_index() == 0:
                             checkpointer.save(it, jax.device_get(ts),
                                               metadata={"best": best})
             # end-of-epoch validation
@@ -713,7 +714,8 @@ class Trainer:
                 best = dict(val)
                 best["epoch"] = epoch
                 best["iter"] = it
-                if checkpointer is not None:
+                if checkpointer is not None \
+                        and jax.process_index() == 0:
                     checkpointer.save(it, jax.device_get(ts),
                                       metadata={"best": best})
         return {"state": ts, "best": best}

@@ -67,3 +67,126 @@ def test_two_process_broadcast_and_barrier(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
         assert f"proc {i} OK" in out
+
+
+# --- real multi-host TRAINING twin (VERDICT r3 #1) -----------------------
+#
+# Two processes x 4 CPU devices each bring up jax.distributed, build the
+# SAME 8-device global mesh the in-process suite uses, and run real pqgo
+# train steps where each process materializes only ITS slice of every
+# global batch (data/synthetic.py process slicing; mesh.shard_batch ->
+# jax.make_array_from_process_local_data).  Losses and the final
+# parameter fingerprint must match the single-process 8-device run —
+# proving the multi-host data path computes the identical global program.
+
+TRAIN_STEPS = 3
+TRAIN_BS = 8
+TRAIN_RES = 16
+
+TRAIN_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update('jax_platforms', 'cpu')   # sitecustomize pins axon
+    jax.config.update('jax_compilation_cache_dir', {cache!r})
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    import numpy as np
+    from equss_tpu.parallel.mesh import init_distributed, make_mesh
+    from equss_tpu.testing import tiny_pqgo_cfg
+    from equss_tpu.train.trainer import Trainer
+    from equss_tpu.data.synthetic import synthetic_batches
+
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    init_distributed(coordinator=f'localhost:{{port}}',
+                     num_processes=2, process_id=pid)
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8, len(jax.devices())
+    assert len(jax.local_devices()) == 4, len(jax.local_devices())
+
+    trainer = Trainer(tiny_pqgo_cfg(), mesh=make_mesh())
+    ts = trainer.init_state(jax.random.PRNGKey(0),
+                            img_hw=({res}, {res}))
+    losses = []
+    for batch in synthetic_batches(0, {steps}, batch_size={bs}, res={res},
+                                   process_index=pid, process_count=2):
+        assert batch['img'].shape[0] == {bs} // 2   # local slice only
+        ts, m = trainer.train_step(ts, batch)
+        losses.append(float(m['loss']))
+    host = jax.device_get({{'p': trainer._trainable(ts['params']),
+                            'q': ts['probe_params']}})
+    fp = float(sum(np.abs(np.asarray(l, np.float64)).sum()
+                   for l in jax.tree.leaves(host)))
+    print('RESULT', pid, ' '.join(f'{{x:.8e}}' for x in losses),
+          f'{{fp:.10e}}', flush=True)
+""")
+
+
+def _single_process_reference():
+    """The same 3 train steps on the in-process 8-device CPU mesh."""
+    import jax
+    import numpy as np
+
+    from equss_tpu.data.synthetic import synthetic_batches
+    from equss_tpu.parallel.mesh import make_mesh
+    from equss_tpu.testing import tiny_pqgo_cfg
+    from equss_tpu.train.trainer import Trainer
+
+    trainer = Trainer(tiny_pqgo_cfg(), mesh=make_mesh(8))
+    ts = trainer.init_state(jax.random.PRNGKey(0),
+                            img_hw=(TRAIN_RES, TRAIN_RES))
+    losses = []
+    for batch in synthetic_batches(0, TRAIN_STEPS, batch_size=TRAIN_BS,
+                                   res=TRAIN_RES):
+        ts, m = trainer.train_step(ts, batch)
+        losses.append(float(m["loss"]))
+    host = jax.device_get({"p": trainer._trainable(ts["params"]),
+                           "q": ts["probe_params"]})
+    fp = float(sum(np.abs(np.asarray(l, np.float64)).sum()
+                   for l in jax.tree.leaves(host)))
+    return losses, fp
+
+
+def test_two_process_train_matches_single_process(tmp_path):
+    import numpy as np
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = os.path.join(repo, "tests", ".jax_cache")
+    worker = tmp_path / "train_worker.py"
+    worker.write_text(TRAIN_WORKER.format(
+        repo=repo, cache=cache, steps=TRAIN_STEPS, bs=TRAIN_BS,
+        res=TRAIN_RES))
+    port = _free_port()
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               JAX_PLATFORMS="cpu")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    # overlap the (expensive, CPU-bound) single-process reference run
+    # with the workers' own compilation
+    ref_losses, ref_fp = _single_process_reference()
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    results = {}
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        line = next(l for l in out.splitlines() if l.startswith("RESULT"))
+        parts = line.split()
+        results[int(parts[1])] = ([float(x) for x in parts[2:-1]],
+                                  float(parts[-1]))
+    # both processes observe the identical global losses/params
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=0)
+    assert results[0][1] == results[1][1]
+    # and they match the single-process 8-device run (same global
+    # program; collective implementations may differ in the last ulps)
+    np.testing.assert_allclose(results[0][0], ref_losses, rtol=1e-5)
+    np.testing.assert_allclose(results[0][1], ref_fp, rtol=1e-5)
