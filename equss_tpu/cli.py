@@ -88,8 +88,15 @@ def _final_eval(cfg, trainer, state, val_batches, logger) -> Dict[str, Any]:
                              visualize_to=None if final_crf else viz_dir)
     logger.log({f"final_{k}": v for k, v in final.items()}, step=step)
     if final_crf:
+        # the exact MXU mean field costs ~281 ms/img @320 (README CRF
+        # row) — warn up front so a full val set isn't a surprise
+        print(f"final_crf: running CRF-refined eval (exact mean field, "
+              f"~0.3 s/img on one chip — expect minutes on a full val "
+              f"set)", flush=True)
+        t0 = time.time()
         crf_metrics = trainer.validate_crf(state, val_batches(),
                                            visualize_to=viz_dir)
+        print(f"final_crf: done in {time.time() - t0:.1f}s", flush=True)
         logger.log({f"final_crf_{k}": v for k, v in crf_metrics.items()},
                    step=step)
         final.update({f"crf_{k}": v for k, v in crf_metrics.items()})

@@ -20,21 +20,24 @@ small d=16-lane ops) compiled for minutes, often failed server-side,
 and ran 32 ms; this layout compiles in seconds and lets Mosaic pipeline
 HBM->VMEM copies across the 8x98 grid steps.
 
-Measured (v5e, M=64 K=256 d=16, l2, exact, scalar-fetch timing, r3):
-n=51200: kernel 21.0 ms (15.5 without the gather) vs XLA in-graph
-16.9 ms; n=102400: 37.9 vs 30.7; n=192000 (12.3 GB distance tensor!):
-115 vs 62.8.  The XLA path wins at EVERY shape that fits HBM — it
-pipelines the (n, M, K) round trip better than this kernel's VPU
-argmin runs, and it fuses the one-hot codeword gather so only one
-(n, M, K) tensor is ever live.  bf16 fast-mode cross terms measure
-the same or slower (VPU argmin bound, not the dot); tile_n 256-512
-within noise.  The remaining kernel costs: VPU argmin over the
-(TILE, G*K) scores (~9 ms at n=51200) and the 3-pass block-diagonal
-gather dots whose G x zero padding wastes 87.5% of MXU work (~5 ms).
-Verdict: `PQConfig.use_pallas = "auto"` routes here only when the
-distance tensor would approach the 16 GB HBM wall (> ~13 GB, i.e.
-n > ~200k pixels per call) — the kernel never materializes (n, M, K)
-and keeps working at any n; everywhere else the XLA path runs.
+Measured (v5e, M=64 K=256 d=16, l2, scalar-fetch timing).  r3's
+jnp.argmin-based kernel lost to XLA at every in-HBM shape (21.0 vs
+16.9 ms at n=51200 exact): ~9 ms of VPU (value, index) argmin.  r4
+(VERDICT #6) replaced the argmin with chunk-folded min reductions —
+packed value|index int32 folds in fast mode, a two-phase full-width
+value/index fold in exact mode — and the bf16 one-hot/gather with
+single-pass forms.  Standalone A/B (tools/bench_pq_kernel.py) now
+TIES XLA: fast n=51200 8.6 vs 8.8 ms, n=102400 14.9 vs 14.7; exact
+17.4 vs 16.1 / 31.8 vs 29.3 (0.93x).  IN-MODEL the kernel WINS at
+every batch (ViT-S/8 @224 + PQ, PERF.md #20): b=1 1.31 vs 1.50 ms,
+b=8 4.54 vs 5.00, b=128 1834 vs 1685 img/s (+8.8%) bf16 and 1493 vs
+1454 (+2.7%) exact — the XLA path pads its consumers' (n, M, d)
+layouts to 128 lanes (8x HBM traffic at d=16) while the kernel feeds
+them flat (n, D).  And only the kernel survives past the ~13 GB HBM
+wall where XLA's materialized (n, M, K) OOMs (n > ~200k pixels).
+Verdict: `PQConfig.use_pallas = "auto"` routes here whenever eligible
+on a TPU backend; the XLA path runs on other backends (interpret
+mode) and under jax.export symbolic shapes.
 
 Per-subspace normalization (l2 / z_norm / z_trainable,
 dino_pqgo.py:369-390) runs in-kernel via segment matmuls: reductions
@@ -76,15 +79,17 @@ def _seg_dot(x, s, precision=jax.lax.Precision.HIGHEST):
 
 def _pq_kernel(K: int, d: int, G: int, exact: bool, mode: str,
                want_zq: bool, *refs):
+    n_parts = 3 if exact else 1
+    z_ref, cbd_ref, c_sq_ref = refs[:3]
+    c_part_refs = refs[3:3 + n_parts]
+    seg_ref, segT_ref, segK_ref = refs[3 + n_parts:6 + n_parts]
+    rest = refs[6 + n_parts:]
     if mode == "z_trainable":
-        (z_ref, cbd_ref, c_sq_ref, c_hi_ref, c_mid_ref, c_lo_ref,
-         seg_ref, segT_ref, segK_ref, zm_ref, zs_ref) = refs[:11]
-        out_refs = refs[11:]
+        zm_ref, zs_ref = rest[:2]
+        out_refs = rest[2:]
     else:
-        (z_ref, cbd_ref, c_sq_ref, c_hi_ref, c_mid_ref, c_lo_ref,
-         seg_ref, segT_ref, segK_ref) = refs[:9]
         zm_ref = zs_ref = None
-        out_refs = refs[9:]
+        out_refs = rest
     if want_zq:
         idx_ref, zn_ref, zq_ref = out_refs
     else:
@@ -145,22 +150,108 @@ def _pq_kernel(K: int, d: int, G: int, exact: bool, mode: str,
     #    the residual is last-ulp sum-order ties).  The adds happen at
     #    full (TILE, G*K) width: Mosaic rejects broadcasts of
     #    lane-offset (1, K) slices.
-    zsqs = []
-    for j in range(G):
-        zj = zn[:, j * d:(j + 1) * d]
-        z_sq = jnp.sum(zj * zj, axis=-1, keepdims=True)     # (TILE_N, 1)
-        zsqs.append(jnp.broadcast_to(z_sq, (zn.shape[0], K)))
-    dist = (jnp.concatenate(zsqs, axis=1) + c_sq_ref[0]) - 2.0 * cross
+    fast_packed = (not exact) and K <= 256
+    if fast_packed and mode == "l2":
+        # l2 shortcut: ||zn|| = ||cn|| = 1, so dist = 2 - 2*cross and
+        # argmin(dist) = argmin(1 - cross) — no z^2/c^2 assembly at all.
+        # 1 - cross >= 0 by Cauchy-Schwarz up to rounding; the rare
+        # sub-ulp negative (z == codeword) bitcasts to a negative int32
+        # that int-min prefers over every positive — i.e. the true
+        # near-zero minimum still wins, no clamp needed.
+        dist = 1.0 - cross
+    else:
+        zsqs = []
+        for j in range(G):
+            zj = zn[:, j * d:(j + 1) * d]
+            z_sq = jnp.sum(zj * zj, axis=-1, keepdims=True)  # (TILE_N, 1)
+            zsqs.append(jnp.broadcast_to(z_sq, (zn.shape[0], K)))
+        dist = (jnp.concatenate(zsqs, axis=1) + c_sq_ref[0]) - 2.0 * cross
+
+    #    The argmin itself: jnp.argmin over a 256-lane slice lowered to
+    #    ~9 ms of VPU work at n=51200 (r3 profile) — the (value, index)
+    #    pair tracking and unaligned slices defeat Mosaic.  Replaced by
+    #    chunk-folded min reductions (r4, VERDICT #6):
+    #    * fast: ONE fold chain over PACKED int32s — the f32 bit pattern
+    #      of a non-negative float is order-isomorphic to its value, so
+    #      masking the low 8 mantissa bits and writing the lane index
+    #      there makes min(packed) return the min distance WITH its
+    #      index, first-index-wins on ties for free (smaller index =>
+    #      smaller packed word).  Truncating 8 of the 23 mantissa bits
+    #      is well inside the bf16-rounded arithmetic this mode already
+    #      runs (the XLA bf16 path rounds dist to 8 mantissa bits).
+    #    * exact: min is exact in any fold order, so a value-min fold
+    #      followed by an equality match + index-min fold reproduces
+    #      jnp.argmin's first-minimum semantics bit-for-bit.
+    #    Both fold K -> 128 with lane-ALIGNED elementwise minimums
+    #    (K % 128 == 0) before the one cross-lane reduction.
+    def _chunk_min(sl):
+        # (TILE_N, K) -> (TILE_N, 128) via aligned elementwise mins,
+        # then ONE cross-lane jnp.min outside.  Folding further with
+        # sub-128 half-slices measured 2.4x SLOWER (22 vs 9 ms at
+        # n=51200): narrow lane-offset slices cost Mosaic full
+        # rotate+select passes, while its native cross-lane reduction
+        # over an aligned 128-lane vreg is already near-optimal.
+        if K % 128:
+            return sl
+        m = sl[:, :128]
+        for c in range(1, K // 128):
+            m = jnp.minimum(m, sl[:, c * 128:(c + 1) * 128])
+        return m
+
+    col_mod = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) % K
     idxs = []
-    for j in range(G):
-        sl = dist[:, j * K:(j + 1) * K]
-        idxs.append(jnp.argmin(sl, axis=-1).astype(jnp.int32))
-        idx_ref[0, :, j] = idxs[j]
+    packed = None
+    mns = []                       # per-group packed minima (fast path)
+    if fast_packed:
+        # no clamp: dist >= 0 mathematically; a rounding-noise negative
+        # bitcasts to a negative int32 that int-min prefers over every
+        # positive, so the near-zero true minimum still wins (and equal
+        # high bits still tie-break to the smaller index)
+        bits = jax.lax.bitcast_convert_type(dist, jnp.int32)
+        packed = (bits & jnp.int32(-256)) | col_mod
+        for j in range(G):
+            sl = packed[:, j * K:(j + 1) * K]
+            mn = jnp.min(_chunk_min(sl), axis=-1)
+            mns.append(mn)
+            idxs.append(mn & jnp.int32(0xFF))
+            idx_ref[0, :, j] = idxs[j]
+    else:
+        # exact (or K > 256, where the index does not fit the 8 maskable
+        # mantissa bits): two-phase full-width scheme.  Phase 1 folds the
+        # per-group value minimum and broadcasts it back to K lanes with
+        # the SAME explicit keepdims+broadcast_to shape the z^2 assembly
+        # uses — an implicit (TILE, 1)-vs-lane-offset-slice broadcast
+        # inside jnp.where aborts the Mosaic compiler ("limits[i] <=
+        # dim(i)"), so every where/== operand here is full (TILE, G*K).
+        # Phase 2 masks matching lanes to their index (K elsewhere) and
+        # folds an int min — exactly jnp.argmin's first-minimum
+        # semantics, since f32 min is exact in any fold order.
+        m_parts = []
+        for j in range(G):
+            sl = dist[:, j * K:(j + 1) * K]
+            m = jnp.min(_chunk_min(sl), axis=-1, keepdims=True)
+            m_parts.append(jnp.broadcast_to(m, (dist.shape[0], K)))
+        m_full = jnp.concatenate(m_parts, axis=1)       # (TILE_N, G*K)
+        cand = jnp.where(dist == m_full, col_mod,
+                         jnp.full_like(col_mod, K))
+        for j in range(G):
+            sl = cand[:, j * K:(j + 1) * K]
+            idxs.append(jnp.min(_chunk_min(sl), axis=-1).astype(jnp.int32))
+            idx_ref[0, :, j] = idxs[j]
 
     # 4) grouped one-hot gather: (TILE_N, G*K) @ (G*K, G*d) block-diagonal
     #    raw codebook, 3 bf16 split passes -> exact f32 codewords
     if want_zq:
-        if K <= 256:
+        if packed is not None:
+            # fast path: the packed word is UNIQUE per lane within its
+            # K-block (the index lives in the low bits), so equality
+            # against the block's packed minimum is a strict one-hot
+            # with exactly the argmin's tie-break — one compare per
+            # element, no index re-broadcast needed
+            oh = jnp.concatenate(
+                [(packed[:, j * K:(j + 1) * K] == mns[j][:, None])
+                 for j in range(G)], axis=1).astype(jnp.bfloat16)
+        elif K <= 256:
             # oh[t, c] = (c % K == idx[t, c // K]): the target row
             # broadcasts through the segK (G, G*K) 0/1 matrix in ONE
             # bf16 MXU dot (bf16 integers are exact up to 256, so idx
@@ -188,11 +279,11 @@ def _pq_kernel(K: int, d: int, G: int, exact: bool, mode: str,
                 oh = hit if oh is None else jnp.logical_or(oh, hit)
             oh = oh.astype(jnp.bfloat16)
         # exact: 3 bf16 passes recombine the f32 codeword bit-for-bit;
-        # fast: hi+mid is already within ~1e-7 relative of f32
-        parts = (c_hi_ref, c_mid_ref, c_lo_ref) if exact \
-            else (c_hi_ref, c_mid_ref)
+        # fast: ONE pass against the round-to-nearest bf16 codebook —
+        # the identical rounding the XLA bf16 path applies
+        # (quantizer.py codebook.astype(bf16) gather)
         zq = None
-        for part_ref in parts:
+        for part_ref in c_part_refs:
             term = jax.lax.dot_general(
                 oh, part_ref[0],                       # (G*K, G*d)
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -258,15 +349,21 @@ def pq_assign_pallas(
     if not exact:
         cbd = cbd.astype(jnp.bfloat16)
 
-    # (n_groups, G*K, G*d) block-diagonal raw codebook, 3-way bf16 split
+    # (n_groups, G*K, G*d) block-diagonal raw codebook: exact mode ships
+    # a 3-way bf16 split (bit-for-bit f32 recombination in-kernel); fast
+    # mode ships ONE round-to-nearest bf16 copy — the same rounding the
+    # XLA bf16 path's codebook.astype(bf16) gather applies
     c_raw_g = c_raw.astype(jnp.float32).reshape(n_groups, G, K, d)
-    hi_f = _bf16_trunc(c_raw_g)
-    r1 = c_raw_g - hi_f
-    mid_f = _bf16_trunc(r1)
-    lo_f = _bf16_trunc(r1 - mid_f)
-    c_hi = _block_diag(hi_f.astype(jnp.bfloat16))
-    c_mid = _block_diag(mid_f.astype(jnp.bfloat16))
-    c_lo = _block_diag(lo_f.astype(jnp.bfloat16))
+    if exact:
+        hi_f = _bf16_trunc(c_raw_g)
+        r1 = c_raw_g - hi_f
+        mid_f = _bf16_trunc(r1)
+        lo_f = _bf16_trunc(r1 - mid_f)
+        c_parts = [_block_diag(hi_f.astype(jnp.bfloat16)),
+                   _block_diag(mid_f.astype(jnp.bfloat16)),
+                   _block_diag(lo_f.astype(jnp.bfloat16))]
+    else:
+        c_parts = [_block_diag(c_raw_g.astype(jnp.bfloat16))]
 
     c_sq = jnp.sum(c_norm.astype(jnp.float32) ** 2, axis=-1)   # (M, K)
     # leading singleton: Mosaic requires the last two block dims to be
@@ -288,7 +385,7 @@ def pq_assign_pallas(
     # group's codebook blocks (~2.6 MB) stay VMEM-resident across the
     # whole n sweep instead of being re-fetched per tile (group-inner
     # order re-reads ~2 GB of codebook for the bench shape)
-    inputs = [z2, cbd, c_sq_g, c_hi, c_mid, c_lo, seg, segT, segK]
+    inputs = [z2, cbd, c_sq_g, *c_parts, seg, segT, segK]
     in_specs = [
         pl.BlockSpec((tile_n, G * d), lambda g, i: (i, g),
                      memory_space=pltpu.VMEM),
@@ -296,12 +393,11 @@ def pq_assign_pallas(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, G * K), lambda g, i: (g, 0, 0),
                      memory_space=pltpu.VMEM),
+    ] + [
         pl.BlockSpec((1, G * K, G * d), lambda g, i: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, G * K, G * d), lambda g, i: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, G * K, G * d), lambda g, i: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
+                     memory_space=pltpu.VMEM)
+        for _ in c_parts
+    ] + [
         pl.BlockSpec((G * d, G), lambda g, i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((G, G * d), lambda g, i: (0, 0),
@@ -352,7 +448,7 @@ def pq_assign_pallas(
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=(6 if exact else 1) * flops_cross
-            + (3 * flops_cross if want_zq else 0),
+            + (len(c_parts) * flops_cross if want_zq else 0),
             bytes_accessed=n_pad * M * d * 4 * (3 if want_zq else 2)
             + n_groups * (G * d) * (G * K) * 4,
             transcendentals=0,

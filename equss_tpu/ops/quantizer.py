@@ -56,20 +56,25 @@ class PQConfig:
     decay: float = 0.99              # EMA decay
     eps: float = 1.0e-5              # Laplace smoothing eps
     jsd_ts: float = 1.0              # softmax temperature for distance prob
-    # fused Pallas assignment kernel (ops/pq_pallas.py).  Measured on
-    # the chip (r3, M=64 K=256 d=16, l2, exact): XLA in-graph BEATS the
-    # kernel at every shape that fits HBM — n=51200 (32x320^2 val
-    # batch): 16.9 vs 21.0 ms; n=102400: 30.7 vs 37.9; n=192000 (12.3
-    # GB distance tensor): 62.8 vs 115 — XLA pipelines the HBM round
-    # trip better than the kernel's VPU argmin runs, and it fuses the
-    # one-hot gather so only ONE (n, M, K) tensor ever exists.  So:
-    #   "auto" (default): XLA path until the distance tensor itself
-    #     approaches HBM capacity (~13 GB), kernel beyond — the kernel
-    #     never materializes (n, M, K) and keeps working at any n;
+    # fused Pallas assignment kernel (ops/pq_pallas.py).  Measured
+    # IN-MODEL on the chip (r4, ViT-S/8 @224 + PQ 64x256, PERF.md #20):
+    # the kernel beats the XLA in-graph path at EVERY batch — b=1:
+    # 1.31 vs 1.50 ms; b=8: 4.54 vs 5.00 ms; b=128: 1834 vs 1685 img/s
+    # (+8.8%) bf16, 1493 vs 1454 (+2.7%) exact — XLA pads the (n, M, d)
+    # layouts its consumers read to 128 lanes (8x HBM traffic at d=16)
+    # while the kernel emits flat (n, D), and the kernel never
+    # materializes the (n, M, K) distance tensor so it also keeps
+    # working past the ~13 GB HBM wall that kills the XLA path.  So:
+    #   "auto" (default): kernel whenever eligible on a TPU backend;
+    #     XLA path on other backends (the kernel would run interpreted)
+    #     and for symbolic n (jax.export), where the XLA path's HBM
+    #     ceiling is pallas_auto_bytes;
     #   True: always kernel; False: always XLA.
     use_pallas: Any = "auto"
-    # distance-tensor bytes above which "auto" switches to the kernel
-    # (XLA measured alive at 12.3 GB; 16 GB HBM is the hard wall)
+    # HBM wall for the XLA path's materialized (n, M, K) distance
+    # tensor (measured alive at 12.3 GB; 16 GB is the hard wall): the
+    # non-TPU "auto" crossover, and the export-artifact batch-ceiling
+    # warning (serve.py)
     pallas_auto_bytes: float = 1.3e10
     # how many ways the pixel axis n is sharded across the mesh: the
     # gate must compare PER-CHIP bytes (the Trainer sets this from its
@@ -418,20 +423,26 @@ def pq_forward(
     # kernel's FLAT (n, D) outputs — the (n, M, d) layout XLA would pick
     # for them pads d=16 to 128 lanes and costs ~8x the HBM traffic.
     if cfg.use_pallas == "auto":
-        # per-element dist bytes: f32 exact / bf16 fast.  Only ONE
-        # (n, M, K) tensor is live at a time on the XLA path (dist dies
-        # at the argmin before the gather's one-hot is built — measured
-        # alive at a 12.3 GB dist tensor, PERF.md #10), so the gate
-        # compares 1x dist bytes against pallas_auto_bytes (~13 GB,
-        # just under the 16 GB HBM wall)
-        elt = 2 if cfg.assign_precision == "bf16" else 4
-        if isinstance(n, int):
-            per_chip = n * M * K * elt / max(1, cfg.pallas_auto_shards)
-            want_pallas = per_chip > cfg.pallas_auto_bytes
-        else:
+        if not isinstance(n, int):
             # symbolic n (jax.export shape polymorphism): size unknown
             # at trace time and Pallas needs concrete shapes — XLA path
             want_pallas = False
+        elif jax.default_backend() == "tpu":
+            # measured r4 (PERF.md #20): in-model the kernel wins at
+            # every batch, b=1 through the b=128 flagship, in both
+            # precisions — kernel whenever eligible
+            want_pallas = True
+        else:
+            # non-TPU: the kernel runs in interpret mode (tests) — XLA
+            # path unless the materialized (n, M, K) distance tensor
+            # would cross the HBM wall the gate contract pins.  Only
+            # ONE such tensor is live at a time on the XLA path (dist
+            # dies at the argmin before the gather's one-hot is built —
+            # measured alive at a 12.3 GB dist tensor, PERF.md #10), so
+            # compare 1x dist bytes (f32 exact / bf16 fast) per chip.
+            elt = 2 if cfg.assign_precision == "bf16" else 4
+            per_chip = n * M * K * elt / max(1, cfg.pallas_auto_shards)
+            want_pallas = per_chip > cfg.pallas_auto_bytes
     else:
         want_pallas = bool(cfg.use_pallas)
     use_pallas = (

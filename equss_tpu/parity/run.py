@@ -14,10 +14,59 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
+import subprocess
 import sys
 import time
+
+# Files whose behavior the PARITY.md record depends on.  The generator
+# stamps a content hash of these into the report; a default-suite test
+# (tests/test_twin_parity.py) recomputes it and fails when the record
+# has drifted from the code — the VERDICT r3 weak-#5 freshness guard.
+PARITY_DEPENDENCIES = [
+    "equss_tpu/parity/twin.py",
+    "equss_tpu/parity/run.py",
+    "equss_tpu/train/trainer.py",
+    "equss_tpu/train/optim.py",
+    "equss_tpu/ops/quantizer.py",
+    "equss_tpu/models/equss.py",
+    "equss_tpu/models/stego.py",
+    "equss_tpu/models/heads.py",
+    "equss_tpu/models/vit.py",
+    "equss_tpu/losses/basic.py",
+    "equss_tpu/losses/stego.py",
+    "equss_tpu/losses/sinkhorn.py",
+    "equss_tpu/eval/probes.py",
+    "equss_tpu/eval/metrics.py",
+]
+
+
+def repo_root() -> str:
+    return os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+
+
+def parity_fingerprint() -> str:
+    """Content hash over PARITY_DEPENDENCIES (order-stable, hex)."""
+    h = hashlib.sha256()
+    root = repo_root()
+    for rel in PARITY_DEPENDENCIES:
+        with open(os.path.join(root, rel), "rb") as f:
+            h.update(rel.encode())
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _git_sha() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=repo_root(),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
 
 
 def _variant_section(variant: str, res, n_steps: int, twin_s: float):
@@ -99,6 +148,10 @@ def main(argv=None):
     lines = []
     lines.append("# PARITY — twin-training accuracy parity vs the torch "
                  "reference\n")
+    # placeholder — replaced at WRITE time below, so the stamp reflects
+    # the dependency sources as of when the record is persisted, not
+    # when the (hours-long) run started
+    lines.append("<!-- parity-stamp -->\n")
     lines.append(
         f"Generated by `python -m equss_tpu.parity.run --steps {args.steps} "
         f"--variants {' '.join(args.variants)}` (CPU, f32, both "
@@ -141,6 +194,8 @@ def main(argv=None):
             f"({dump['idx_jax'].size} indices compared; {dump_s:.0f}s).\n")
         summary["dump_agreement"] = dump["agreement"]
 
+    lines[1] = (f"<!-- parity-stamp: sha={_git_sha()} "
+                f"deps={parity_fingerprint()} -->\n")
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
     summary["out"] = args.out

@@ -300,8 +300,10 @@ def test_bf16_assign_precision_close_to_exact():
 
 
 def test_use_pallas_auto_threshold(monkeypatch):
-    """use_pallas='auto' routes to the XLA path while the (n, M, K)
-    distance tensor is small and to the fused kernel beyond
+    """use_pallas='auto' contract (r4, PERF.md #12): on a TPU backend
+    the fused kernel runs whenever eligible (it wins in-model at every
+    batch); on other backends (kernel would run interpreted) the XLA
+    path runs until the materialized (n, M, K) distance tensor crosses
     pallas_auto_bytes (the XLA path OOMs HBM there — measured r3)."""
     import equss_tpu.ops.pq_pallas as pp
     from equss_tpu.ops.quantizer import PQConfig, pq_forward, pq_init
@@ -322,9 +324,29 @@ def test_use_pallas_auto_threshold(monkeypatch):
     cfg = PQConfig(use_pallas="auto", **base)         # default 13 GB gate
     params, state = pq_init(key, cfg)
     _, idx_xla, _, _ = pq_forward(z, params, state, cfg, training=False)
-    assert calls == []
+    assert calls == []                     # CPU backend, tiny tensor
 
     cfg_small = PQConfig(use_pallas="auto", pallas_auto_bytes=1.0, **base)
     _, idx_k, _, _ = pq_forward(z, params, state, cfg_small, training=False)
     assert calls == [1]
     np.testing.assert_array_equal(np.asarray(idx_k), np.asarray(idx_xla))
+
+    # TPU branch: auto routes to the kernel at ANY size.  Fake the
+    # backend check the gate makes, restoring the real one inside the
+    # spy so the kernel itself still runs interpreted on CPU.
+    real_backend = jax.default_backend
+
+    def spy_tpu(*a, **k):
+        calls.append("tpu")
+        monkeypatch.setattr(jax, "default_backend", real_backend)
+        try:
+            return orig(*a, **k)
+        finally:
+            monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    monkeypatch.setattr(pp, "pq_assign_pallas", spy_tpu)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    _, idx_t, _, _ = pq_forward(z, params, state, cfg, training=False)
+    monkeypatch.setattr(jax, "default_backend", real_backend)
+    assert calls == [1, "tpu"]
+    np.testing.assert_array_equal(np.asarray(idx_t), np.asarray(idx_xla))

@@ -141,3 +141,27 @@ def test_sl_twin_final_miou_matches(sl_twin_result):
                sl_twin_result["final"]["ref"])
     for k in ("Linear_mIoU", "Linear_Accuracy"):
         assert abs(ja[k] - ref[k]) < 0.1, (k, ja[k], ref[k])
+
+
+def test_parity_md_is_fresh():
+    """PARITY.md freshness guard (VERDICT r3 weak #5): the 250-step
+    record must carry a stamp whose dependency hash matches the current
+    source of everything the record's numbers depend on.  Regenerate
+    with `python -m equss_tpu.parity.run --steps 250 --variants pqgo
+    stego spq sl` whenever this fails."""
+    import re
+
+    from equss_tpu.parity.run import parity_fingerprint, repo_root
+
+    path = os.path.join(repo_root(), "PARITY.md")
+    with open(path) as f:
+        head = f.read(2000)
+    m = re.search(r"<!-- parity-stamp: sha=(\S+) deps=([0-9a-f]+) -->",
+                  head)
+    assert m, ("PARITY.md has no parity-stamp — regenerate it with "
+               "python -m equss_tpu.parity.run")
+    assert m.group(2) == parity_fingerprint(), (
+        "PARITY.md is STALE: a file in parity/run.PARITY_DEPENDENCIES "
+        "changed since the record was generated.  Regenerate with "
+        "python -m equss_tpu.parity.run --steps 250 --variants pqgo "
+        "stego spq sl")
