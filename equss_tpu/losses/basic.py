@@ -234,21 +234,33 @@ def proxy_loss(
     temperature: float = 1.0,
     num_queries: int = 50,
     num_neg: int = 256,
+    sample_override=None,
 ) -> jnp.ndarray:
     """Proxy InfoNCE over per-cluster memory queues (loss.py:206-265):
     for each cluster, random queries from its queue must score their
     centroid above random negatives drawn from the other clusters'
-    queues.  Vectorized over clusters (the reference loops)."""
+    queues.  Vectorized over clusters (the reference loops).
+
+    sample_override: optional (q_idx (C, num_queries), neg_idx
+    (C, num_queries*num_neg) into the (C-1)*Q other-cluster pool) —
+    the twin-parity injection seam (the reference draws with
+    torch.randint, loss.py:235,256)."""
     n_cluster, q_size, d = queue.shape
     k_q, k_n = jax.random.split(key)
 
-    q_idx = jax.random.randint(k_q, (n_cluster, num_queries), 0, q_size)
+    if sample_override is not None:
+        q_idx, neg_idx = (jnp.asarray(sample_override[0]),
+                          jnp.asarray(sample_override[1]))
+    else:
+        q_idx = jax.random.randint(
+            k_q, (n_cluster, num_queries), 0, q_size)
+        neg_idx = jax.random.randint(
+            k_n, (n_cluster, num_queries * num_neg), 0,
+            (n_cluster - 1) * q_size)
     queries = jnp.take_along_axis(queue, q_idx[..., None], axis=1)
 
     # negatives: global pool with own-cluster entries masked by resampling
     flat = queue.reshape(n_cluster * q_size, d)
-    neg_idx = jax.random.randint(
-        k_n, (n_cluster, num_queries * num_neg), 0, (n_cluster - 1) * q_size)
     # skip over the own cluster's contiguous block
     own_start = (jnp.arange(n_cluster) * q_size)[:, None]
     neg_idx = jnp.where(neg_idx >= own_start, neg_idx + q_size, neg_idx)

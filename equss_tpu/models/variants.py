@@ -35,7 +35,14 @@ import jax
 import jax.numpy as jnp
 
 from equss_tpu.losses.basic import info_nce_loss, jsd_loss, margin_ranking_loss, club_loss
-from equss_tpu.models.heads import CLUBEncoder, DecResBlock, EncResBlock, dropout2d
+from equss_tpu.models.heads import (
+    CLUBEncoder,
+    DecResBlock,
+    EncResBlock,
+    LinDecResBlock,
+    LinEncResBlock,
+    dropout2d,
+)
 from equss_tpu.models.vit import VisionTransformer, make_vit_config
 from equss_tpu.ops.quantizer import (
     PQConfig,
@@ -105,29 +112,38 @@ class _BackboneMixin:
 
 
 class _EncStack(nn.Module):
-    """EncResBlock stack (dino_unseg.py:21-26)."""
+    """EncResBlock stack (dino_unseg.py:21-26).
+
+    flavor picks the reference block library the host model imports from:
+    'module' = blocks/module.py (dino_cluster, dino_new_vq), 'linear' =
+    blocks/resnet_linear.py (dino_unseg/vae/res/contra/info)."""
     hidden_dim: int
     num_blocks: int
+    flavor: str = "module"
 
     @nn.compact
     def __call__(self, x):
+        blk = LinEncResBlock if self.flavor == "linear" else EncResBlock
         for i in range(self.num_blocks):
-            x = EncResBlock(self.hidden_dim, name=f"enc_{i}")(x)
+            x = blk(self.hidden_dim, name=f"enc_{i}")(x)
         return x
 
 
 class _DecStack(nn.Module):
-    """DecResBlock stack ending at feat_dim (dino_unseg.py:96-102)."""
+    """DecResBlock stack ending at feat_dim (dino_unseg.py:96-102).
+    flavor as in _EncStack."""
     hidden_dim: int
     out_dim: int
     num_blocks: int
     last_norm: bool = False
+    flavor: str = "module"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        blk = LinDecResBlock if self.flavor == "linear" else DecResBlock
         for i in range(self.num_blocks):
             out = self.out_dim if i == self.num_blocks - 1 else self.hidden_dim
-            x = DecResBlock(out, name=f"dec_{i}")(x, train=train)
+            x = blk(out, name=f"dec_{i}")(x, train=train)
         if self.last_norm:
             x = nn.LayerNorm(name="dec_norm")(x)
         return x
@@ -147,18 +163,24 @@ class _UnSegNet(nn.Module):
     dec_num_blocks: int
     agg_type: str = "concat"
     last_norm: bool = False
+    # dino_unseg projects with Conv2d(..., bias=False) (dino_unseg.py:71);
+    # dino_contra with nn.Linear(...) which carries bias (dino_contra.py:89)
+    vq_in_bias: bool = False
 
     def setup(self):
-        self.enc = _EncStack(self.hidden_dim, self.enc_num_blocks)
+        # dino_unseg imports its blocks from resnet_linear (dino_unseg.py:7)
+        self.enc = _EncStack(self.hidden_dim, self.enc_num_blocks,
+                             flavor="linear")
         self.vq_input_proj = [
-            nn.Dense(e, use_bias=False, name=f"vq_in_{i}")
+            nn.Dense(e, use_bias=self.vq_in_bias, name=f"vq_in_{i}")
             for i, e in enumerate(self.embed_dims)]
         self.vq_output_proj = [
             nn.Dense(self.hidden_dim, name=f"vq_out_{i}")
             for i in range(len(self.embed_dims) - 1)]
         self.agg = nn.Dense(self.hidden_dim, name="agg")
         self.dec = _DecStack(self.hidden_dim, self.feat_dim,
-                             self.dec_num_blocks, self.last_norm)
+                             self.dec_num_blocks, self.last_norm,
+                             flavor="linear")
 
     def encode(self, feat):
         return self.enc(feat)
@@ -181,6 +203,8 @@ class _UnSegNet(nn.Module):
 
 class UnSegModel(_BackboneMixin):
     """params={'backbone','net','pq': [..]}, state={'pq': [..]}."""
+
+    _vq_in_bias = False   # dino_unseg.py:71 Conv2d(bias=False)
 
     def __init__(self, cfg: Dict[str, Any]):
         m = cfg["model"]
@@ -213,6 +237,7 @@ class UnSegModel(_BackboneMixin):
             dec_num_blocks=m.get("dec_num_blocks", 1),
             agg_type=vq.get("agg_type", "concat"),
             last_norm=m.get("last_norm", False),
+            vq_in_bias=self._vq_in_bias,
         )
         self._embed_dims_by_type = {"feat": self.feat_dim}
 
@@ -638,7 +663,11 @@ class ClusterModel(_BackboneMixin):
     def __init__(self, cfg: Dict[str, Any]):
         m = cfg["model"]
         self._setup_backbone(m["pretrained"])
-        self.hidden_dim = m.get("hidden_dim", 512)
+        # the encoder width is semantic_dim (dino_cluster.py:23,31-34);
+        # the wrapper sizes its evaluator with hidden_dim
+        # (ClusterWrapper.py:31) — cluster_baseline.yaml sets both 512
+        self.hidden_dim = m.get("semantic_dim",
+                                m.get("hidden_dim", self.feat_dim))
         self.enc_num_blocks = m.get("enc_num_blocks", 1)
         self.net = _EncStack(self.hidden_dim, self.enc_num_blocks)
 
@@ -763,17 +792,82 @@ class ClusterModel(_BackboneMixin):
 # ---------------------------------------------------------------------------
 
 class _VAENet(nn.Module):
+    """DINOVae torso, conv-exact (dino_vae.py:24-154): linear-flavor
+    EncResBlock bottom stack; top encoder ReLU -> strided 4x4 conv
+    (hidden -> hidden//4, /2 spatial) -> ReLU -> 1x1 (-> hidden);
+    ReLU + biasless 1x1 vq input proj; top decoder 1x1 (e0 -> e0//4) ->
+    ResBlock* -> ReLU -> ConvTranspose(4,2,1) back to full res; a second
+    ConvTranspose `upsample_t` lifting the quantized top for the final
+    concat; full decoder 1x1 -> ResBlock* -> ReLU -> 1x1 -> feat_dim."""
     hidden_dim: int
     feat_dim: int
     embed_dims: tuple
+    enc_num_blocks: int = 1
+    dec_num_blocks: int = 1
+    last_norm: bool = False
 
     def setup(self):
-        self.enc_bottom = _EncStack(self.hidden_dim, 1)
-        self.enc_top = nn.Dense(self.hidden_dim, name="enc_top")
-        self.vq_in_0 = nn.Dense(self.embed_dims[0], name="vq_in_0")
-        self.dec_top = nn.Dense(self.hidden_dim, name="dec_top")
-        self.aggregate = nn.Dense(self.embed_dims[1], name="aggregate")
-        self.dec = _DecStack(self.hidden_dim, self.feat_dim, 1)
+        from equss_tpu.models.heads import ConvTranspose2dTorch, ReLUResBlock
+
+        e0, e1 = self.embed_dims
+        self.enc_bottom = _EncStack(self.hidden_dim, self.enc_num_blocks,
+                                    flavor="linear")
+        self.enc_top_conv = nn.Conv(self.hidden_dim // 4, (4, 4),
+                                    strides=(2, 2), padding=[(1, 1), (1, 1)],
+                                    name="enc_top_conv")
+        self.enc_top_out = nn.Dense(self.hidden_dim, name="enc_top_out")
+        self.vq_in_0 = nn.Dense(e0, use_bias=False, name="vq_in_0")
+        self.dec_top_in = nn.Dense(e0 // 4, name="dec_top_in")
+        self.dec_top_blocks = [ReLUResBlock(e0 // 4, name=f"dec_top_res_{i}")
+                               for i in range(self.dec_num_blocks)]
+        self.dec_top_up = ConvTranspose2dTorch(e0, name="dec_top_up")
+        self.upsample_t = ConvTranspose2dTorch(e0, name="upsample_t")
+        self.aggregate = nn.Dense(e1, name="aggregate")
+        self.dec_in = nn.Dense(self.hidden_dim, name="dec_in")
+        self.dec_blocks = [ReLUResBlock(self.hidden_dim // 4,
+                                        name=f"dec_res_{i}")
+                           for i in range(self.dec_num_blocks)]
+        self.dec_out = nn.Dense(self.feat_dim, name="dec_out")
+        if self.last_norm:
+            self.dec_norm = nn.LayerNorm(name="dec_norm")
+
+    def encode(self, x):
+        """(fb full-res hidden, ft half-res hidden) — dino_vae.py:180-181."""
+        fb = self.enc_bottom(x)
+        h = nn.relu(fb)
+        h = self.enc_top_conv(h)
+        h = nn.relu(h)
+        return fb, self.enc_top_out(h)
+
+    def vq0_input(self, ft):
+        return self.vq_in_0(nn.relu(ft))       # dino_vae.py:86-90
+
+    def bottom_input(self, fb, zq0):
+        """dec_proj_top on the quantized top, concat with the bottom
+        features, 1x1 aggregate -> second VQ input (dino_vae.py:195-197)."""
+        d = self.dec_top_in(zq0)
+        for blk in self.dec_top_blocks:
+            d = blk(d)
+        d = nn.relu(d)
+        d = self.dec_top_up(d)
+        return self.aggregate(jnp.concatenate([fb, d], -1))
+
+    def decode(self, zq0, zq1, agg_type="concat"):
+        """upsample_t on the top codes, concat/add with bottom codes,
+        full decoder (dino_vae.py:204-217).  Returns (feat, recon)."""
+        up0 = self.upsample_t(zq0)
+        if agg_type == "concat":
+            feat = jnp.concatenate([up0, zq1], -1)
+        else:
+            feat = up0 + zq1
+        h = self.dec_in(feat)
+        for blk in self.dec_blocks:
+            h = blk(h)
+        h = nn.relu(h)
+        recon = self.dec_out(h)
+        if self.last_norm:
+            recon = self.dec_norm(recon)
+        return up0, feat, recon
 
 
 class VAEModel(_BackboneMixin):
@@ -790,18 +884,31 @@ class VAEModel(_BackboneMixin):
         self.hidden_dim = m.get("hidden_dim", self.feat_dim)
         self.embed_dims = tuple(vq["embed_dims"])
         assert len(self.embed_dims) == 2, "VAE variant uses 2 VQ levels"
+        num_pq = vq.get("num_pq", 1)
+        if isinstance(num_pq, int):
+            num_pq = [num_pq] * 2
+        elif len(num_pq) < 2:
+            num_pq = list(num_pq) * 2
         self.pq_cfgs = [
-            PQConfig(num_pq=1, num_codebook=vq["num_codebooks"][i],
+            PQConfig(num_pq=num_pq[i], num_codebook=vq["num_codebooks"][i],
                      embed_dim=self.embed_dims[i],
                      vq_type=vq.get("vq_type", "param"),
-                assign_precision=vq.get("assign_precision", "exact"),
+                     assign_precision=vq.get("assign_precision", "exact"),
                      beta=vq.get("beta", 0.25),
                      need_initialized=vq.get("need_initialized", "none"),
-                     normalize=vq.get("normalize", "none"))
+                     normalize=vq.get("normalize", "none"),
+                     use_restart=vq.get("use_restart", False),
+                     use_split=vq.get("use_split", False),
+                     use_gumbel=vq.get("use_gumbel", False),
+                     use_weighted_sum=vq.get("use_weighted_sum", False),
+                     decay=vq.get("decay", 0.99), eps=vq.get("eps", 1e-5))
             for i in range(2)
         ]
         self.agg_type = vq.get("agg_type", "concat")
-        self.net = _VAENet(self.hidden_dim, self.feat_dim, self.embed_dims)
+        self.net = _VAENet(self.hidden_dim, self.feat_dim, self.embed_dims,
+                           enc_num_blocks=m.get("enc_num_blocks", 1),
+                           dec_num_blocks=m.get("dec_num_blocks", 1),
+                           last_norm=m.get("last_norm", False))
 
     @property
     def needs_data_init(self) -> bool:
@@ -817,17 +924,15 @@ class VAEModel(_BackboneMixin):
         feat_dino = self.features(params, img)
 
         def run(net, x):
-            fb = net.enc_bottom(x)
-            ft = net.enc_top(fb)
-            f0 = net.vq_in_0(ft)
+            fb, ft = net.encode(x)
+            f0 = net.vq0_input(ft)
             c0 = self.pq_cfgs[0]
             p0, s0 = pq_data_init(
                 jax.random.fold_in(rng, 0),
                 f0.reshape(-1, c0.num_pq, c0.sub_dim),
                 params["pq"][0], state["pq"][0], c0)
             zq0, _, _, _ = pq_forward(f0, p0, s0, c0, training=False)
-            d0 = net.dec_top(zq0)
-            f1 = net.aggregate(jnp.concatenate([fb, d0], -1))
+            f1 = net.bottom_input(fb, zq0)
             c1 = self.pq_cfgs[1]
             p1, s1 = pq_data_init(
                 jax.random.fold_in(rng, 1),
@@ -857,15 +962,10 @@ class VAEModel(_BackboneMixin):
         dummy = jnp.zeros((1, gh, gw, self.feat_dim))
 
         def full(net, x):
-            fb = net.enc_bottom(x)
-            ft = net.enc_top(fb)
-            f0 = net.vq_in_0(ft)
-            d0 = net.dec_top(f0)
-            f1 = net.aggregate(jnp.concatenate([fb, d0], -1))
-            agg = jnp.concatenate(
-                [jnp.zeros_like(f0)[..., : self.embed_dims[0]], f1], -1) \
-                if self.agg_type == "concat" else f1
-            return net.dec(agg, train=True)
+            fb, ft = net.encode(x)
+            f0 = net.vq0_input(ft)
+            f1 = net.bottom_input(fb, f0)
+            return net.decode(f0, f1, self.agg_type)
 
         variables = self.net.init(keys[1], dummy, method=full)
         pq0 = pq_init(keys[2], self.pq_cfgs[0])
@@ -886,25 +986,19 @@ class VAEModel(_BackboneMixin):
         feat_dino = self.features(params, img2)
 
         def full(net, x):
-            fb = net.enc_bottom(x)
-            ft = net.enc_top(fb)
-            f0 = net.vq_in_0(ft)
+            fb, ft = net.encode(x)
+            f0 = net.vq0_input(ft)
             zq0, _, aux0, s0 = pq_forward(
                 f0, params["pq"][0], state["pq"][0], self.pq_cfgs[0],
                 training=training, want_prob=training,
                 rng=None if rng is None else jax.random.fold_in(rng, 0))
-            d0 = net.dec_top(zq0)
-            f1 = net.aggregate(jnp.concatenate([fb, d0], -1))
+            f1 = net.bottom_input(fb, zq0)
             zq1, _, aux1, s1 = pq_forward(
                 f1, params["pq"][1], state["pq"][1], self.pq_cfgs[1],
                 training=training, want_prob=training,
                 rng=None if rng is None else jax.random.fold_in(rng, 1))
-            if self.agg_type == "concat":
-                agg = jnp.concatenate([zq0, zq1], -1)
-            else:
-                agg = zq0 + zq1
-            recon = net.dec(agg, train=training)
-            return zq0, zq1, aux0, aux1, (s0, s1), agg, recon
+            up0, agg, recon = net.decode(zq0, zq1, self.agg_type)
+            return up0, zq1, aux0, aux1, (s0, s1), agg, recon
 
         variables = {"params": params["net"]}
         if state.get("batch_stats"):
@@ -919,18 +1013,21 @@ class VAEModel(_BackboneMixin):
             "recon-loss": jnp.mean((recon - feat_dino) ** 2),
         }
         if training and aug_img is not None:
-            n = zq0.shape[0] // 2
-            p0 = aux0["distance_prob"].reshape(zq0.shape[0], -1,
-                                               self.pq_cfgs[0].num_codebook)
-            p1 = aux1["distance_prob"].reshape(zq1.shape[0], -1,
-                                               self.pq_cfgs[1].num_codebook)
-            pos = jsd_loss(p0[:n].reshape(-1, p0.shape[-1]),
-                           p0[n:].reshape(-1, p0.shape[-1]))
-            neg = jsd_loss(p1[:n].reshape(-1, p1.shape[-1]),
-                           p1[n:].reshape(-1, p1.shape[-1]))
+            # the reference feeds the PQ wrapper's CONCATENATED per-book
+            # distributions (n_pixels, M*K) to the JSD with batchmean
+            # over pixel rows (quantizer.py:609, dino_vae.py:220-224) —
+            # per-book rows would deflate the value by M
+            def _pix_rows(a, c):
+                return a["distance_prob"].reshape(
+                    -1, c.num_pq * c.num_codebook)
+
+            p0 = _pix_rows(aux0, self.pq_cfgs[0])
+            p1 = _pix_rows(aux1, self.pq_cfgs[1])
+            pos = jsd_loss(p0[: p0.shape[0] // 2], p0[p0.shape[0] // 2:])
+            neg = jsd_loss(p1[: p1.shape[0] // 2], p1[p1.shape[0] // 2:])
             aux["contra-loss-pos"] = pos
             aux["contra-loss-neg"] = neg
-            aux["contra-loss"] = pos - 0.01 * neg   # dino_vae.py:229
+            aux["contra-loss"] = pos - 0.01 * neg   # dino_vae.py:227
 
         b = img.shape[0]
         new_state = {"pq": [s0, s1],
@@ -967,12 +1064,23 @@ class ResModel(_BackboneMixin):
 
         m = cfg["model"]
         self._setup_backbone(m["pretrained"])
-        self.hidden_dim = m.get("hidden_dim", 512)
-        self.semantic_enc = _EncStack(self.hidden_dim, m.get("enc_num_blocks", 1))
-        self.local_enc = _EncStack(self.hidden_dim, m.get("enc_num_blocks", 1))
+        # dino_res.py:23-25: semantic/local/hidden dims default to feat_dim
+        self.hidden_dim = m.get("hidden_dim", self.feat_dim)
+        self.semantic_dim = m.get("semantic_dim", self.feat_dim)
+        self.local_dim = m.get("local_dim", self.feat_dim)
+        # dino_res imports its blocks from resnet_linear (dino_res.py:8)
+        self.semantic_enc = _EncStack(
+            self.semantic_dim, m.get("enc_num_blocks", 1), flavor="linear")
+        self.local_enc = _EncStack(
+            self.local_dim, m.get("enc_num_blocks", 1), flavor="linear")
         self.club = CLUBEncoder(hidden_dim=self.hidden_dim,
-                                out_dim=self.hidden_dim)
-        self.dec = nn.Dense(self.feat_dim)
+                                out_dim=self.local_dim)
+        # aggregate 1x1 conv + DecResBlock stack back to feat_dim
+        # (dino_res.py:41-56); last_norm optional
+        self.agg = nn.Dense(self.hidden_dim, name="agg")
+        self.dec = _DecStack(self.hidden_dim, self.feat_dim,
+                             m.get("dec_num_blocks", 1),
+                             m.get("last_norm", False), flavor="linear")
         ince = cfg["loss"].get("info_nce", {})
         self.info_nce_kwargs = dict(
             normalize=ince.get("normalize", "l2"),
@@ -991,29 +1099,39 @@ class ResModel(_BackboneMixin):
         )
 
     def output_dim(self, output_type: str) -> int:
-        return self.hidden_dim
+        # the evaluator consumes `code` = semantic features; the reference
+        # wrapper hardcodes hidden_dim (ResWrapper.py:30) which only works
+        # because res_baseline.yaml sets all three dims equal
+        return self.semantic_dim
 
     def init(self, key, img_hw=(224, 224), backbone_params=None):
-        keys = jax.random.split(key, 5)
+        keys = jax.random.split(key, 6)
         backbone_params = self._init_backbone(keys[0], img_hw, backbone_params)
         gh, gw = img_hw[0] // self.patch_size, img_hw[1] // self.patch_size
         dummy = jnp.zeros((1, gh, gw, self.feat_dim))
         sem = self.semantic_enc.init(keys[1], dummy)["params"]
         loc = self.local_enc.init(keys[2], dummy)["params"]
-        dummy_h = jnp.zeros((1, gh, gw, self.hidden_dim))
-        club = self.club.init(keys[3], dummy_h)["params"]
-        dec = self.dec.init(
-            keys[4], jnp.zeros((1, gh, gw, 2 * self.hidden_dim)))["params"]
-        state = {"club_enc": club, "club_opt": self.club_tx.init(club)}
+        club = self.club.init(
+            keys[3], jnp.zeros((1, gh, gw, self.local_dim)))["params"]
+        agg = self.agg.init(keys[4], jnp.zeros(
+            (1, gh, gw, self.semantic_dim + self.local_dim)))["params"]
+        dec_vars = self.dec.init(
+            keys[5], jnp.zeros((1, gh, gw, self.hidden_dim)))
+        state = {"club_enc": club, "club_opt": self.club_tx.init(club),
+                 "batch_stats": dec_vars.get("batch_stats", {})}
         return ({"backbone": backbone_params, "semantic": sem, "local": loc,
-                 "dec": dec}, state)
+                 "agg": agg, "dec": dec_vars["params"]}, state)
 
     def _club_nll(self, club_params, loc_1, loc_2):
         """-loglikeli of the second aug half under the encoder's Gaussian
-        prediction from the first (dino_res.py:126-131)."""
-        mu, logvar = self.club.apply({"params": club_params}, loc_1)
-        flat2 = loc_2.reshape(-1, self.hidden_dim)
-        return jnp.mean(
+        prediction from the first (dino_res.py:126, club_encoder.py:98-108):
+        0.01 * mean over samples of the summed per-dim NLL, via the
+        get_mu_logvar path (no residual).  The 0.01 scale is part of the
+        objective — it interacts with the clip_grad=1.0 on the CLUB Adam."""
+        mu, logvar = self.club.apply({"params": club_params}, loc_1,
+                                     residual=False)
+        flat2 = loc_2.reshape(-1, self.local_dim)
+        return 0.01 * jnp.mean(
             jnp.sum((flat2 - mu) ** 2 / jnp.exp(logvar) + logvar, axis=-1))
 
     def apply(self, params, state, img, img_pos=None, aug_img=None, *,
@@ -1026,10 +1144,22 @@ class ResModel(_BackboneMixin):
         semantic = self.semantic_enc.apply({"params": params["semantic"]},
                                            feat_dino)
         local = self.local_enc.apply({"params": params["local"]}, feat_dino)
-        recon = self.dec.apply({"params": params["dec"]},
-                               jnp.concatenate([semantic, local], -1))
+        # concat -> 1x1 aggregate conv -> DecResBlock stack (dino_res.py:
+        # 168-179); the linear-flavor dec blocks carry BatchNorm state
+        agg = self.agg.apply({"params": params["agg"]},
+                             jnp.concatenate([semantic, local], -1))
+        dec_vars = {"params": params["dec"]}
+        if state.get("batch_stats"):
+            dec_vars["batch_stats"] = state["batch_stats"]
+        if training:
+            recon, mutated = self.dec.apply(dec_vars, agg, True,
+                                            mutable=["batch_stats"])
+        else:
+            recon = self.dec.apply(dec_vars, agg, False)
+            mutated = {}
         aux: Dict[str, Any] = {"recon-loss": jnp.mean((recon - feat_dino) ** 2)}
-        new_state = state
+        new_state = dict(state, batch_stats=mutated.get(
+            "batch_stats", state.get("batch_stats", {})))
 
         if training and aug_img is not None and rng is not None:
             b = img.shape[0]
@@ -1063,7 +1193,7 @@ class ResModel(_BackboneMixin):
             p_mu, p_logvar = self.club.apply(
                 {"params": jax.lax.stop_gradient(club_new)}, local[:b])
             aux["club-loss"] = club_loss(local[b:], p_mu, p_logvar)
-            new_state = {"club_enc": club_new, "club_opt": copt_new}
+            new_state = dict(new_state, club_enc=club_new, club_opt=copt_new)
             semantic = semantic[:b]
         return {"feat": feat_dino[: img.shape[0]], "code": semantic,
                 "aux": aux}, new_state
@@ -1085,7 +1215,9 @@ class _InfoNet(nn.Module):
     dec_num_blocks: int
 
     def setup(self):
-        self.enc = _EncStack(self.feat_dim, self.enc_num_blocks)
+        # dino_info imports its blocks from resnet_linear (dino_info.py:7)
+        self.enc = _EncStack(self.feat_dim, self.enc_num_blocks,
+                             flavor="linear")
         self.vq_input_proj = [
             nn.Dense(e, use_bias=False, name=f"vq_in_{i}")
             for i, e in enumerate(self.embed_dims)]
@@ -1099,7 +1231,8 @@ class _InfoNet(nn.Module):
             for i in range(len(self.embed_dims))]
         self.concat_proj = nn.Dense(self.feat_dim, name="concat_proj")
         self.dec = _DecStack(self.feat_dim, self.feat_dim,
-                             self.dec_num_blocks, last_norm=True)
+                             self.dec_num_blocks, last_norm=True,
+                             flavor="linear")
 
     def encode(self, feat):
         return self.enc(feat)
@@ -1418,6 +1551,7 @@ class EMAModel(_BackboneMixin):
         self.queue_size = mb.get("queue_size", 64)
         self.num_support = mb.get("num_support", 16)
         self.enqueue_k = mb.get("enqueue_k", 4)
+        self.margin = mb.get("margin", 0.1)    # ema.yaml:37
         ince = cfg["loss"].get("info_nce", {})
         self.proxy_kwargs = dict(
             temperature=ince.get("temperature", 1.0),
@@ -1430,47 +1564,55 @@ class EMAModel(_BackboneMixin):
         return self.hidden_dim
 
     def init(self, key, img_hw=(224, 224), backbone_params=None):
-        k0, k1 = jax.random.split(key)
+        k0, k1, k2 = jax.random.split(key, 3)
         backbone_params = self._init_backbone(k0, img_hw, backbone_params)
         gh, gw = img_hw[0] // self.patch_size, img_hw[1] // self.patch_size
         head_params = self.head.init(
             k1, jnp.zeros((1, gh, gw, self.feat_dim)))["params"]
+        # the centroids are a TRAINABLE embedding updated by the model
+        # optimizer through the proxy-loss gradient (dino_ema.py:48,274 —
+        # nn.Embedding default N(0,1) init), NOT an EMA buffer
+        centroid = jax.random.normal(k2, (self.n_cluster, self.hidden_dim))
         state = {
             "ema_head": jax.tree.map(jnp.copy, head_params),
-            "centroid": jnp.zeros((self.n_cluster, self.hidden_dim)),
             "queue": jnp.zeros((self.n_cluster, self.queue_size,
                                 self.hidden_dim)),
             "bank_initialized": jnp.zeros((), jnp.int32),
         }
-        return {"backbone": backbone_params, "head": head_params}, state
+        return {"backbone": backbone_params, "head": head_params,
+                "centroid": centroid}, state
 
     needs_data_init = True
 
     def data_init(self, params, state, img, rng):
-        """One-time teacher-feature bank init (dino_ema.py:91-99 faiss
-        k-means analogue): cluster the (initial == student) teacher
-        head's output on the first batch into centroids + support
-        queues.  Runs once via the Trainer hook instead of a lax.cond
-        inside every jitted train step."""
+        """One-time STUDENT-feature bank init (dino_ema.py:84-110 faiss
+        k-means analogue, fired from forward on the first batch): k-means
+        the student head's output, take the num_support nearest pixels
+        per centroid, set the centroid embedding to their MEAN
+        (dino_ema.py:106-107) and seed the queue with them.  Runs once
+        via the Trainer hook instead of a lax.cond in every jitted step."""
         feat = self.features(params, img)
-        z = self.head.apply({"params": state["ema_head"]}, feat)
+        z = self.head.apply({"params": params["head"]}, feat)
         cents, queue = self._init_bank(rng, z.reshape(-1, self.hidden_dim))
-        return params, dict(
-            state, centroid=cents, queue=queue,
-            bank_initialized=jnp.ones((), jnp.int32))
+        return dict(params, centroid=cents), dict(
+            state, queue=queue, bank_initialized=jnp.ones((), jnp.int32))
 
     def _init_bank(self, key, z_flat):
         from equss_tpu.ops.kmeans import kmeans
 
         cents, assign = kmeans(key, z_flat, k=self.n_cluster, n_iters=10)
-        # queues seeded with the closest supports per centroid
         d2 = (
             jnp.sum(z_flat**2, -1)[None, :]
             + jnp.sum(cents**2, -1)[:, None]
             - 2.0 * cents @ z_flat.T
         )                                      # (n_cluster, n)
-        _, idx = jax.lax.top_k(-d2, self.queue_size)
-        queue = z_flat[idx]                    # (n_cluster, queue_size, d)
+        _, idx = jax.lax.top_k(-d2, self.num_support)
+        supports = z_flat[idx]                 # (n_cluster, num_support, d)
+        cents = jnp.mean(supports, axis=1)     # dino_ema.py:106
+        # fixed-capacity analogue of the reference's variable-length
+        # Python-list queues: tile the supports to fill queue_size slots
+        reps = -(-self.queue_size // self.num_support)
+        queue = jnp.tile(supports, (1, reps, 1))[:, : self.queue_size]
         return cents, queue
 
     def apply(self, params, state, img, img_pos=None, aug_img=None, *,
@@ -1483,69 +1625,98 @@ class EMAModel(_BackboneMixin):
             feat = drop2d(keys[0], feat, self.drop_prob)
         z_student = self.head.apply({"params": params["head"]}, feat)
 
+        def l2n(x):
+            return x / jnp.maximum(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
         aux: Dict[str, Any] = {}
         new_state = dict(state)
         if training:
+            # momentum update BEFORE the teacher forward (dino_ema.py:
+            # 254-257)
             ema_head = jax.tree.map(
                 lambda k_, q: k_ * self.momentum + q * (1.0 - self.momentum),
                 state["ema_head"], jax.lax.stop_gradient(params["head"]))
             aug = aug_img if aug_img is not None else img
             feat_t = self.features(params, aug)
+            if self.dropout:
+                # the reference drops BOTH views (dino_ema.py:244,247)
+                feat_t = drop2d(keys[1], feat_t, self.drop_prob)
             z_teacher = jax.lax.stop_gradient(
                 self.head.apply({"params": ema_head}, feat_t))
-            z_flat = z_teacher.reshape(-1, self.hidden_dim)
-            # bank init happens ONCE in data_init (Trainer hook) before
-            # the first step — keeping the k-means out of the per-step
-            # graph (it used to sit in a lax.cond traced into EVERY step,
-            # inflating compile time for a branch that runs once).
-            # Guard for callers that drive train_step on a fresh state
-            # without the hook (bank_initialized==0): seed the bank from
-            # strided teacher pixels instead of silently training against
-            # all-zero centroids/queues — a gather, not a k-means, so it
-            # adds nothing to the per-step graph worth measuring.
+            # MSE between the L2-NORMALIZED flattened views
+            # (dino_ema.py:252-259)
+            s_flat = z_student.reshape(-1, self.hidden_dim)
+            t_flat = z_teacher.reshape(-1, self.hidden_dim)
+            aux["mse-loss"] = jnp.mean((l2n(s_flat) - l2n(t_flat)) ** 2)
+
+            # the memory bank is fed by the STUDENT output (dino_ema.py:
+            # 268: _update_queue(z1_1, norm_z1_1)), gradient-free
+            z_flat = jax.lax.stop_gradient(s_flat)
+            norm_z = l2n(z_flat)
+            # bank init happens ONCE in data_init (Trainer hook).  Guard
+            # for callers that drive train_step on a fresh state without
+            # the hook: seed the queue from strided student pixels
+            # (centroids are the N(0,1)-initialized trainable embedding,
+            # exactly the reference's state had _init_memory_bank never
+            # fired — a gather, not a k-means, in the per-step graph).
             initialized = state["bank_initialized"] > 0
             stride = max(1, z_flat.shape[0] // self.n_cluster)
             fb_idx = (jnp.arange(self.n_cluster) * stride) % z_flat.shape[0]
-            fb_cent = z_flat[fb_idx]
-            centroid = jnp.where(initialized[..., None],
-                                 state["centroid"], fb_cent)
             queue = jnp.where(
                 initialized[..., None, None], state["queue"],
-                jnp.broadcast_to(fb_cent[:, None],
+                jnp.broadcast_to(z_flat[fb_idx][:, None],
                                  (self.n_cluster, self.queue_size,
                                   self.hidden_dim)))
 
-            # assign teacher pixels to centroids; enqueue the closest
-            # enqueue_k per cluster (functional ring update)
+            # assignment in NORMALIZED space against NORMALIZED centroids;
+            # enqueue gated on the top-2 distance margin; RAW (un-
+            # normalized) student pixels enter the queue (dino_ema.py:
+            # 159-187).  The reference enqueues every pixel that clears
+            # the margin; fixed-shape analogue: the enqueue_k widest-
+            # margin pixels per cluster, invalid slots keep old entries.
+            centroid = jax.lax.stop_gradient(params["centroid"])
+            cent_n = l2n(centroid)
             d2 = (
-                jnp.sum(z_flat**2, -1)[None, :]
-                + jnp.sum(centroid**2, -1)[:, None]
-                - 2.0 * centroid @ z_flat.T
-            )
+                jnp.sum(norm_z**2, -1)[None, :]
+                + jnp.sum(cent_n**2, -1)[:, None]
+                - 2.0 * cent_n @ norm_z.T
+            )                                                  # (C, n)
             assign = jnp.argmin(d2, axis=0)                    # (n,)
-            mask = jax.nn.one_hot(assign, self.n_cluster).T    # (C, n)
-            score = jnp.where(mask > 0, -d2, -jnp.inf)
-            _, close_idx = jax.lax.top_k(score, self.enqueue_k)
-            new_items = z_flat[close_idx]                      # (C, k, d)
-            queue = jnp.concatenate(
-                [new_items, queue[:, : self.queue_size - self.enqueue_k]],
-                axis=1)
-            # EMA centroid update toward assigned means
-            counts = jnp.maximum(mask.sum(-1), 1.0)
-            means = (mask @ z_flat) / counts[:, None]
-            centroid = jnp.where(
-                (mask.sum(-1) > 0)[:, None],
-                0.9 * centroid + 0.1 * means, centroid)
+            top2 = -jax.lax.top_k(-d2.T, 2)[0]                 # (n, 2) asc
+            gap = top2[:, 1] - top2[:, 0]                      # (n,) >= 0
+            mask = jax.nn.one_hot(assign, self.n_cluster,
+                                  dtype=bool).T                # (C, n)
+            eligible = mask & (gap > self.margin)[None]
+            score = jnp.where(eligible, gap[None], -jnp.inf)
+            top_v, top_i = jax.lax.top_k(score, self.enqueue_k)
+            items = z_flat[top_i]                              # (C, k, d)
+            n_valid = jnp.sum(top_v > -jnp.inf, axis=-1)       # (C,)
+
+            # append-at-end, keep-last semantics (dino_ema.py:214-217)
+            qs, ek = self.queue_size, self.enqueue_k
+
+            def upd(old_row, item_row, v):
+                j = jnp.arange(qs)
+                from_old = j < qs - v
+                old_idx = jnp.clip(j + v, 0, qs - 1)
+                item_idx = jnp.clip(j - (qs - v), 0, ek - 1)
+                return jnp.where(from_old[:, None], old_row[old_idx],
+                                 item_row[item_idx])
+
+            queue = jax.vmap(upd)(queue, items, n_valid)
 
             from equss_tpu.losses.basic import proxy_loss
 
+            # centroid gradient flows into params["centroid"] — the
+            # proxy CE is how the embedding trains (dino_ema.py:274)
             aux["info_nce-loss"] = proxy_loss(
-                keys[2], queue, centroid, **self.proxy_kwargs)
+                keys[2], queue, params["centroid"],
+                sample_override=_.get("proxy_idx"), **self.proxy_kwargs)
             aux["proxy-loss"] = aux["info_nce-loss"]
-            aux["mse-loss"] = jnp.mean((z_student - z_teacher) ** 2)
 
             new_state = {
-                "ema_head": ema_head, "centroid": centroid, "queue": queue,
+                "ema_head": ema_head, "queue": queue,
                 "bank_initialized": jnp.ones((), jnp.int32),
             }
         return {"feat": feat, "code": z_student, "aux": aux}, new_state
@@ -1565,6 +1736,7 @@ class ContraModel(UnSegModel):
     (:263-272) belongs to analysis tooling, not the training step."""
 
     consumes_aug = True
+    _vq_in_bias = True    # dino_contra.py:89 nn.Linear carries bias
 
     def apply(self, params, state, img, img_pos=None, aug_img=None, *,
               training=False, rng=None, **_):
@@ -1608,15 +1780,16 @@ class ContraModel(UnSegModel):
 
         b = img.shape[0]
         if training and aug_img is not None and probs[0] is not None:
-            def halves_jsd(p):
-                K = p.shape[-1]
-                flat = p.reshape(p.shape[0], -1, K)
+            # concatenated-book rows, like the wrapper output the
+            # reference hands its JSD (dino_contra.py:252-257)
+            def halves_jsd(p, c):
+                flat = p.reshape(-1, c.num_pq * c.num_codebook)
                 n = flat.shape[0] // 2
-                return jsd_loss(flat[:n].reshape(-1, K),
-                                flat[n:].reshape(-1, K))
+                return jsd_loss(flat[:n], flat[n:])
 
-            outs["contra-loss-pos"] = halves_jsd(probs[0])
-            outs["contra-loss-neg"] = halves_jsd(probs[-1])
+            outs["contra-loss-pos"] = halves_jsd(probs[0], self.pq_cfgs[0])
+            outs["contra-loss-neg"] = halves_jsd(probs[-1],
+                                                 self.pq_cfgs[-1])
 
         new_state = {"pq": pq_states,
                      "batch_stats": mutated.get(

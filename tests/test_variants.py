@@ -369,7 +369,9 @@ def test_ema_train_without_data_init_hook():
     assert int(ts["model_state"]["bank_initialized"]) == 0
     batch = next(iter(synthetic_batches(0, 1, batch_size=4, res=16)))
     ts, metrics = trainer.train_step(ts, batch)       # NO data_init call
-    cent = np.asarray(ts["model_state"]["centroid"])
+    # centroids are the N(0,1)-initialized trainable embedding
+    # (dino_ema.py:48); the queue must be seeded in-graph
+    cent = np.asarray(ts["params"]["centroid"])
     queue = np.asarray(ts["model_state"]["queue"])
     assert np.abs(cent).sum() > 0, "trained against the zero bank"
     assert np.abs(queue).sum() > 0
