@@ -194,7 +194,12 @@ class LinDecResBlock(nn.Module):
 class ReLUResBlock(nn.Module):
     """resnet_linear.ResBlock (blocks/resnet_linear.py:149-165):
     ReLU -> Conv3x3(in,ch) -> ReLU -> Conv1x1(ch,in), residual — the
-    dino_vae decoder's block (dino_vae.py:122-144)."""
+    dino_vae decoder's block (dino_vae.py:122-144).
+
+    The residual shortcut is relu(x), NOT x: the reference's first
+    ReLU(inplace=True) (resnet_linear.py:154) mutates `input` before
+    `out += input` runs (resnet_linear.py:164), so the tensor added back
+    is already rectified."""
 
     channels: int
     dtype: Any = jnp.float32
@@ -207,7 +212,7 @@ class ReLUResBlock(nn.Module):
                     name="conv1")(h)
         h = nn.relu(h)
         h = nn.Dense(c_in, dtype=self.dtype, name="conv2")(h)
-        return h + x
+        return h + nn.relu(x)
 
 
 class ConvTranspose2dTorch(nn.Module):

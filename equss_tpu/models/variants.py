@@ -86,7 +86,8 @@ class _BackboneMixin:
         self.vit_cfg = make_vit_config(pre["model_type"],
                                        pre["dino_patch_size"], dtype=dtype,
                                        attn_bf16=(precision == "bf16"),
-                                       gelu=pre.get("gelu"))
+                                       gelu=pre.get("gelu"),
+                                       ln_stats=pre.get("ln_stats", "f32"))
         self.backbone = VisionTransformer(self.vit_cfg)
         self.feat_dim = self.vit_cfg.embed_dim
         self.patch_size = pre["dino_patch_size"]
@@ -844,13 +845,18 @@ class _VAENet(nn.Module):
 
     def bottom_input(self, fb, zq0):
         """dec_proj_top on the quantized top, concat with the bottom
-        features, 1x1 aggregate -> second VQ input (dino_vae.py:195-197)."""
+        features, 1x1 aggregate -> second VQ input (dino_vae.py:195-197).
+
+        The concat takes relu(fb), NOT fb: the reference's enc_proj_top
+        begins with ReLU(inplace=True) (dino_vae.py:32), which mutates
+        feat_bottom in place when called at dino_vae.py:181, so the tensor
+        reused in the concat at dino_vae.py:196 is already rectified."""
         d = self.dec_top_in(zq0)
         for blk in self.dec_top_blocks:
             d = blk(d)
         d = nn.relu(d)
         d = self.dec_top_up(d)
-        return self.aggregate(jnp.concatenate([fb, d], -1))
+        return self.aggregate(jnp.concatenate([nn.relu(fb), d], -1))
 
     def decode(self, zq0, zq1, agg_type="concat"):
         """upsample_t on the top codes, concat/add with bottom codes,

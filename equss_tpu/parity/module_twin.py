@@ -856,13 +856,18 @@ def verify_ema_enqueue(*, seed: int = 0) -> Dict[str, Any]:
     ref.gather_together = lambda data: [data]
     zt = torch.from_numpy(z)
     znt = torch.nn.functional.normalize(zt, dim=-1)
-    ref._update_queue(zt, znt)
+    # _update_queue takes raw x as (b, d, h, w) and re-flattens it
+    # (dino_ema.py:159-174); shape z so _flatten returns exactly z's rows.
+    zt4 = zt.reshape(1, z.shape[0], 1, d).permute(0, 3, 1, 2).contiguous()
+    ref.h, ref.w, ref.d = z.shape[0], 1, d
+    ref._update_queue(zt4, znt)
     ref_sets = [set(map(tuple, np.round(ref.queue[i].numpy(), 5).tolist()))
                 for i in range(C)]
 
     # our enqueue, replayed standalone (mirrors EMAModel.apply)
     def l2n(x):
-        return x / np.maximum(np.linalg.norm(x, -1, keepdims=True), 1e-12)
+        return x / np.maximum(
+            np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
     zn = l2n(z)
     cn = l2n(cents)
