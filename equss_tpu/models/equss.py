@@ -84,6 +84,9 @@ class EQUSSConfig:
     # model.pretrained.gelu: None (auto) | 'erf' | 'tanh' — lets
     # parity-sensitive bf16 runs keep the exact erf GELU
     gelu: Any = None
+    # model.pretrained.ln_stats: 'f32' (default) | 'bf16' opt-in speed
+    # mode (ViTConfig.ln_stats_bf16; PERF.md r5)
+    ln_stats: str = "f32"
     pq: PQConfig = dataclasses.field(default_factory=PQConfig)
     stego: StegoLossConfig = dataclasses.field(default_factory=StegoLossConfig)
 
@@ -106,6 +109,7 @@ class EQUSSConfig:
             backbone_dtype=dtype,
             attn_bf16=(precision == "bf16"),
             gelu=pre.get("gelu"),
+            ln_stats=pre.get("ln_stats", "f32"),
             pq=pq_config_from_dict(m["vq"]),
             stego=stego_config_from_dict(cfg["loss"]["stego"]),
         )
@@ -122,7 +126,7 @@ class EQUSS:
         self.cfg = cfg
         self.vit_cfg = make_vit_config(
             cfg.model_type, cfg.patch_size, dtype=cfg.backbone_dtype,
-            attn_bf16=cfg.attn_bf16, gelu=cfg.gelu,
+            attn_bf16=cfg.attn_bf16, gelu=cfg.gelu, ln_stats=cfg.ln_stats,
         )
         self.backbone = VisionTransformer(self.vit_cfg)
         self.head = ExpansionHead(cfg.hidden_dim)

@@ -22,6 +22,7 @@ class ProbeOnlyConfig:
     backbone_dtype: Any = jnp.float32
     attn_bf16: bool = False
     gelu: Any = None
+    ln_stats: str = "f32"
 
     @staticmethod
     def from_config(cfg: Dict[str, Any], dtype=None) -> "ProbeOnlyConfig":
@@ -34,7 +35,8 @@ class ProbeOnlyConfig:
                                patch_size=pre["dino_patch_size"],
                                backbone_dtype=dtype,
                                attn_bf16=(precision == "bf16"),
-                               gelu=pre.get("gelu"))
+                               gelu=pre.get("gelu"),
+                               ln_stats=pre.get("ln_stats", "f32"))
 
 
 class ProbeOnlyModel:
@@ -43,7 +45,8 @@ class ProbeOnlyModel:
         self.vit_cfg = make_vit_config(cfg.model_type, cfg.patch_size,
                                        dtype=cfg.backbone_dtype,
                                        attn_bf16=cfg.attn_bf16,
-                                       gelu=cfg.gelu)
+                                       gelu=cfg.gelu,
+                                       ln_stats=cfg.ln_stats)
         self.backbone = VisionTransformer(self.vit_cfg)
         self.feat_dim = self.vit_cfg.embed_dim
 

@@ -29,6 +29,7 @@ class STEGOConfig:
     backbone_dtype: Any = jnp.float32
     attn_bf16: bool = False
     gelu: Any = None
+    ln_stats: str = "f32"
     stego: StegoLossConfig = dataclasses.field(default_factory=StegoLossConfig)
 
     @staticmethod
@@ -53,6 +54,7 @@ class STEGOConfig:
             backbone_dtype=dtype,
             attn_bf16=(precision == "bf16"),
             gelu=pre.get("gelu"),
+            ln_stats=pre.get("ln_stats", "f32"),
             stego=stego_config_from_dict(loss_cfg),
         )
 
@@ -63,6 +65,7 @@ class STEGOModel:
     def __init__(self, cfg: STEGOConfig):
         self.cfg = cfg
         self.vit_cfg = make_vit_config(cfg.model_type, cfg.patch_size,
+                                       ln_stats=cfg.ln_stats,
                                        dtype=cfg.backbone_dtype,
                                        attn_bf16=cfg.attn_bf16,
                                        gelu=cfg.gelu)

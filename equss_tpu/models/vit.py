@@ -73,6 +73,13 @@ class ViTConfig:
     # Kept as a tested option + an honest record (PERF.md r3 #9);
     # strict-f32 parity mode keeps the stock flax path regardless.
     fused_ln: bool = False
+    # OPT-IN bf16 LayerNorm statistics (model.pretrained.ln_stats:
+    # 'bf16'): mean/var reduce in bf16 instead of flax's f32 upcast —
+    # the "one 2x lever left" on the LN floor named by PERF.md #15.
+    # This LEAVES the reference's autocast fidelity class (torch
+    # autocast keeps layer_norm fp32), so it is default-off and parity
+    # presets pin f32; A/B + numerics delta recorded in PERF.md r5.
+    ln_stats_bf16: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -97,11 +104,13 @@ VIT_PRESETS = {
 
 def make_vit_config(model_type: str, patch_size: int, dtype=jnp.float32,
                     img_size: int = 224, attn_bf16: bool = False,
-                    gelu: Any = None) -> ViTConfig:
+                    gelu: Any = None, ln_stats: str = "f32") -> ViTConfig:
     """gelu: None = auto (tanh in bf16, erf in f32 — see ViTConfig),
     'erf'/False = exact erf even in bf16 (parity-sensitive runs),
     'tanh'/True = force the approximation.  Exposed to configs as
-    model.pretrained.gelu."""
+    model.pretrained.gelu.  ln_stats: 'f32' (default, torch-autocast
+    class) | 'bf16' (opt-in speed mode; see ViTConfig.ln_stats_bf16) —
+    exposed as model.pretrained.ln_stats."""
     if model_type not in VIT_PRESETS:
         raise ValueError(f"Unknown arch {model_type}")
     dim, depth, heads = VIT_PRESETS[model_type]
@@ -109,10 +118,13 @@ def make_vit_config(model_type: str, patch_size: int, dtype=jnp.float32,
         if gelu not in ("erf", "tanh"):
             raise ValueError(f"model.pretrained.gelu must be erf|tanh, got {gelu}")
         gelu = gelu == "tanh"
+    if ln_stats not in ("f32", "bf16"):
+        raise ValueError(
+            f"model.pretrained.ln_stats must be f32|bf16, got {ln_stats}")
     return ViTConfig(
         patch_size=patch_size, embed_dim=dim, depth=depth, num_heads=heads,
         pos_grid=img_size // patch_size, dtype=dtype, attn_bf16=attn_bf16,
-        gelu_tanh=gelu,
+        gelu_tanh=gelu, ln_stats_bf16=(ln_stats == "bf16"),
     )
 
 
@@ -151,6 +163,33 @@ class FusedLayerNorm(nn.Module):
         return fused_add_layernorm(x, y, scale, bias, self.epsilon)
 
 
+class BF16StatsLayerNorm(nn.Module):
+    """LayerNorm with bf16 mean/var reductions (ViTConfig.ln_stats_bf16).
+
+    flax nn.LayerNorm always upcasts the reduction to f32 — on the
+    profile that upcast IS the LN cost (12x convert_reduce, PERF.md
+    #12/#15).  Here the stats stay bf16 end to end; same param names
+    ('scale'/'bias', f32) as nn.LayerNorm so torch checkpoint
+    conversion is unaffected.  Opt-in speed mode: numerics leave the
+    torch-autocast class (autocast keeps layer_norm fp32)."""
+
+    epsilon: float
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        xb = x.astype(jnp.bfloat16)
+        mean = jnp.mean(xb, axis=-1, keepdims=True)
+        xc = xb - mean
+        var = jnp.mean(jax.lax.square(xc), axis=-1, keepdims=True)
+        y = xc * jax.lax.rsqrt(var + jnp.bfloat16(self.epsilon))
+        y = y * scale.astype(jnp.bfloat16) + bias.astype(jnp.bfloat16)
+        return y.astype(self.dtype)
+
+
 def _use_fused_ln(cfg: ViTConfig) -> bool:
     """Single source of truth for the fused-LN gate — Block's pending-
     residual threading is only valid when _layer_norm returns a
@@ -161,6 +200,9 @@ def _use_fused_ln(cfg: ViTConfig) -> bool:
 def _layer_norm(cfg: ViTConfig, name: str):
     if _use_fused_ln(cfg):
         return FusedLayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name=name)
+    if cfg.ln_stats_bf16 and cfg.dtype == jnp.bfloat16:
+        return BF16StatsLayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype,
+                                  name=name)
     return nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name=name)
 
 

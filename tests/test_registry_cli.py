@@ -120,6 +120,9 @@ def test_precision_reaches_every_model_family_backbone():
         want = jnp.bfloat16 if precision == "bf16" else jnp.float32
         assert vit_cfg.dtype == want, (path, vit_cfg.dtype)
         assert vit_cfg.attn_bf16 == (precision == "bf16"), path
+        # ln_stats plumbs the same seam (opt-in; shipped configs all f32)
+        ln_stats = cfg["model"]["pretrained"].get("ln_stats", "f32")
+        assert vit_cfg.ln_stats_bf16 == (ln_stats == "bf16"), path
         checked += 1
     assert checked >= 20
 

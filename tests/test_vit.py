@@ -144,3 +144,45 @@ def test_gelu_tanh_auto_and_feature_agreement():
     a = np.asarray(vit_e.apply({"params": params}, img)["dense"], np.float32)
     b = np.asarray(vit_t.apply({"params": params}, img)["dense"], np.float32)
     np.testing.assert_allclose(a, b, atol=5e-2)
+
+
+def test_ln_stats_bf16_opt_in():
+    """model.pretrained.ln_stats='bf16' routes to BF16StatsLayerNorm
+    (opt-in, PERF.md r5), params transplant-compatible, features within
+    bf16-class tolerance of the f32-stats path; default stays f32."""
+    import dataclasses
+
+    import numpy as np
+
+    from equss_tpu.models.vit import VisionTransformer, make_vit_config
+
+    cfg = make_vit_config("vit_micro", 8, dtype=jnp.bfloat16,
+                          attn_bf16=True)
+    assert not cfg.ln_stats_bf16               # default off
+    cfg_b = make_vit_config("vit_micro", 8, dtype=jnp.bfloat16,
+                            attn_bf16=True, ln_stats="bf16")
+    assert cfg_b.ln_stats_bf16
+    # f32 mode never routes to bf16 stats regardless of the flag
+    cfg_f32 = dataclasses.replace(make_vit_config("vit_micro", 8),
+                                  ln_stats_bf16=True)
+
+    img = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3),
+                      jnp.float32)
+    vit_f = VisionTransformer(cfg)
+    vit_b = VisionTransformer(cfg_b)
+    params = vit_f.init(jax.random.PRNGKey(0), img)["params"]
+    # identical param tree (names 'scale'/'bias') -> same checkpoints load
+    params_b = vit_b.init(jax.random.PRNGKey(0), img)["params"]
+    assert jax.tree_util.tree_structure(params) \
+        == jax.tree_util.tree_structure(params_b)
+    a = np.asarray(vit_f.apply({"params": params}, img)["dense"], np.float32)
+    b = np.asarray(vit_b.apply({"params": params}, img)["dense"], np.float32)
+    np.testing.assert_allclose(a, b, atol=6e-2)
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-8)
+    assert rel < 3e-2, f"bf16 LN stats drifted out of class: rel {rel}"
+    VisionTransformer(cfg_f32).apply({"params": params}, img)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_vit_config("vit_micro", 8, ln_stats="fp8")
