@@ -9,8 +9,10 @@ copies previously drifted independently.
 """
 from __future__ import annotations
 
+import collections
 import queue as _queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterable, Iterator, Optional
 
 
@@ -59,3 +61,37 @@ def threaded_prefetch(items: Iterable, *, depth: int = 2,
     finally:
         stop.set()          # unblock the producer if we exit early
         t.join()
+
+
+def ordered_parallel_map(fn: Callable, items: Iterable, *,
+                         workers: int, depth: int = 2) -> Iterator:
+    """Yield ``fn(item)`` in input order with up to ``workers`` items
+    computed concurrently and at most ``workers + depth`` in flight.
+
+    The multi-producer analogue of ``threaded_prefetch``: N worker
+    threads each materialize whole results (e.g. whole batches — a
+    sharded-range reader over the item stream), while the consumer sees
+    strictly ordered output.  Exceptions from ``fn`` surface at the
+    result's in-order position; abandoning the generator early cancels
+    pending work and joins the pool.
+    """
+    if workers <= 1:
+        yield from threaded_prefetch(items, depth=depth, map_fn=fn)
+        return
+    it = iter(items)
+    pending: "collections.deque" = collections.deque()
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        try:
+            while True:
+                while len(pending) < workers + depth:
+                    try:
+                        item = next(it)
+                    except StopIteration:
+                        break
+                    pending.append(pool.submit(fn, item))
+                if not pending:
+                    break
+                yield pending.popleft().result()
+        finally:
+            for f in pending:
+                f.cancel()

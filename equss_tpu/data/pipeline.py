@@ -69,11 +69,15 @@ class UnSegData:
         pack_path: Optional[str] = None,
         process_index: int = 0,
         process_count: int = 1,
+        producers: int = 1,
+        prefetch: int = 2,
     ) -> None:
         self.mode = mode
         self.pos_images = pos_images
         self.num_neighbors = num_neighbors
         self.num_workers = num_workers
+        self.producers = producers
+        self.prefetch = prefetch
         self.native = native
         if not (0 <= process_index < process_count):
             raise ValueError(
@@ -268,9 +272,10 @@ class UnSegData:
                 batch[key] = vals              # e.g. paths
         return batch
 
-    def _epoch_batches(self, batch_size, shuffle, seed, drop_last,
-                       max_batches, pool, fast: Optional[str] = None,
-                       ) -> Iterator[Dict[str, np.ndarray]]:
+    def _index_stream(self, batch_size, shuffle, seed, drop_last,
+                      max_batches) -> Iterator:
+        """Per-batch (idxs, seeds) pairs — the deterministic contract all
+        decode paths and producer counts share."""
         rng = np.random.RandomState(seed)
         order = np.arange(len(self.dataset))
         if shuffle:
@@ -299,36 +304,46 @@ class UnSegData:
                 lo = self.process_index * local
                 idxs = idxs[lo: lo + local]
                 seeds = seeds[lo: lo + local]
-            batch = None
-            if fast == "pack":
-                batch = self._pack_batch(idxs, seeds)
-            elif fast == "native":
-                try:
-                    batch = self._native_batch(idxs, seeds)
-                except Exception as e:
-                    if self.native == "on":
-                        raise
-                    # e.g. a format the C++ decoders reject: fall back
-                    # to PIL permanently for this pipeline — loudly, so
-                    # the throughput drop is attributable
-                    import warnings
-                    warnings.warn(
-                        f"native batch decode failed "
-                        f"({type(e).__name__}: {e}); falling back to PIL "
-                        f"for the rest of this pipeline")
-                    self._native_disabled = True
-                    fast = None
-            if batch is None:
-                fn = lambda args: self.item(          # noqa: E731
-                    int(args[0]), np.random.RandomState(args[1]))
-                pairs = list(zip(idxs, seeds))
-                items = list(pool.map(fn, pairs)) if pool is not None \
-                    else [fn(p) for p in pairs]
-                batch = self._collate(items)
-            yield batch
+            yield idxs, seeds
             count += 1
             if max_batches is not None and count >= max_batches:
                 return
+
+    def _materialize(self, idxs, seeds, fast, pool) -> Dict[str, Any]:
+        """(idxs, seeds) -> collated batch via the active decode path.
+        Thread-safe: pack slices a shared read-only memmap, native decode
+        is GIL-free C++, and the PIL item path touches no shared state —
+        so N producers may run this concurrently on different batches."""
+        if fast == "pack":
+            return self._pack_batch(idxs, seeds)
+        if fast == "native" and not getattr(self, "_native_disabled", False):
+            try:
+                return self._native_batch(idxs, seeds)
+            except Exception as e:
+                if self.native == "on":
+                    raise
+                # e.g. a format the C++ decoders reject: fall back
+                # to PIL permanently for this pipeline — loudly, so
+                # the throughput drop is attributable
+                import warnings
+                warnings.warn(
+                    f"native batch decode failed "
+                    f"({type(e).__name__}: {e}); falling back to PIL "
+                    f"for the rest of this pipeline")
+                self._native_disabled = True
+        fn = lambda args: self.item(          # noqa: E731
+            int(args[0]), np.random.RandomState(args[1]))
+        pairs = list(zip(idxs, seeds))
+        items = list(pool.map(fn, pairs)) if pool is not None \
+            else [fn(p) for p in pairs]
+        return self._collate(items)
+
+    def _epoch_batches(self, batch_size, shuffle, seed, drop_last,
+                       max_batches, pool, fast: Optional[str] = None,
+                       ) -> Iterator[Dict[str, np.ndarray]]:
+        for idxs, seeds in self._index_stream(batch_size, shuffle, seed,
+                                              drop_last, max_batches):
+            yield self._materialize(idxs, seeds, fast, pool)
 
     def batches(
         self,
@@ -339,16 +354,34 @@ class UnSegData:
         drop_last: Optional[bool] = None,
         max_batches: Optional[int] = None,
         num_workers: Optional[int] = None,
-        prefetch: int = 2,
+        prefetch: Optional[int] = None,
+        producers: Optional[int] = None,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Epoch iterator of collated numpy batches; with num_workers > 0
         decode runs in a thread pool and a producer thread keeps
         ``prefetch`` batches ready (DataLoader-worker analogue,
-        build.py:183-198)."""
+        build.py:183-198).  With producers > 1, N sharded-range producer
+        threads each materialize WHOLE batches concurrently (in-order
+        delivery) — this is how the pack reader scales past one core."""
         shuffle = (self.mode == "train") if shuffle is None else shuffle
         drop_last = shuffle if drop_last is None else drop_last
         workers = self.num_workers if num_workers is None else num_workers
+        prefetch = self.prefetch if prefetch is None else prefetch
+        producers = self.producers if producers is None else producers
         fast = self._fast_batch_kind()
+
+        if producers > 1:
+            from equss_tpu.core.prefetch import ordered_parallel_map
+
+            # per-batch item threads compose badly with batch producers;
+            # the producers ARE the parallelism (each one runs the whole
+            # batch materialization: memmap slice / C++ decode / PIL loop)
+            stream = self._index_stream(batch_size, shuffle, seed,
+                                        drop_last, max_batches)
+            yield from ordered_parallel_map(
+                lambda a: self._materialize(a[0], a[1], fast, None),
+                stream, workers=producers, depth=max(prefetch, 1))
+            return
 
         if workers <= 0 and fast is None:
             yield from self._epoch_batches(batch_size, shuffle, seed,
@@ -386,8 +419,15 @@ def build_data(cfg: Dict[str, Any], mode: str, seed: int = 0) -> UnSegData:
     dl_cfg = (cfg.get("dataloader", {}).get(mode, {}) or {})
     workers = dl_cfg.get("num_workers",
                          min(8, cpus - 1) if cpus > 1 else 0)
+    # producers: whole-batch sharded-range reader threads (pack/native
+    # scaling lever, tools/bench_pipeline.py --producers); default 1 —
+    # opt in per host-core budget
+    producers = int(dl_cfg.get("producers", 1))
+    prefetch = int(dl_cfg.get("prefetch", 2))
     return UnSegData(
         num_workers=workers,
+        producers=producers,
+        prefetch=prefetch,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
         native=str(dl_cfg.get("native", "auto")),

@@ -385,6 +385,40 @@ def test_pack_job_and_packed_parity(coco_root, nns6, tmp_path):
     assert isinstance(auto.dataset, PackedDataset)
 
 
+def test_multi_producer_batches_identical(coco_root, nns6, tmp_path):
+    """producers>1 (sharded-range whole-batch reader threads,
+    VERDICT r4 #5) is bit-identical and in-order vs producers=1 on
+    every decode path, and early abandonment doesn't deadlock."""
+    from equss_tpu.data.cache import pack_dataset
+    from equss_tpu.data.datasets import build_base_dataset
+
+    # PIL path
+    pil = _pipeline(coco_root, nns6, native="off")
+    _assert_batches_equal(list(pil.batches(2, seed=9, producers=1)),
+                          list(pil.batches(2, seed=9, producers=3)))
+
+    # pack path
+    ds = build_base_dataset("cocostuff27", "train", coco_root, 32, None,
+                            loader_crop_type="center")
+    base = str(tmp_path / "pack_mp")
+    pack_dataset(ds, base, log_every=0)
+    packed = _pipeline(coco_root, nns6, pack="on", pack_path=base)
+    assert packed._fast_batch_kind() == "pack"
+    _assert_batches_equal(list(packed.batches(2, seed=9, producers=1)),
+                          list(packed.batches(2, seed=9, producers=4)))
+
+    # constructor knob routes through batches()
+    packed_p = _pipeline(coco_root, nns6, pack="on", pack_path=base,
+                         producers=4, prefetch=3)
+    _assert_batches_equal(list(packed.batches(2, seed=9)),
+                          list(packed_p.batches(2, seed=9)))
+
+    # early abandonment: pending futures cancelled, pool joined
+    it = packed.batches(2, seed=9, producers=4)
+    next(it)
+    it.close()
+
+
 # ------------------------------------------------- review-finding regressions
 
 def test_native_loader_survives_corrupt_files(coco_root, tmp_path):

@@ -77,6 +77,10 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--paths", default="pil,native,pack")
+    ap.add_argument("--producers-scan", default=None,
+                    help="comma list, e.g. 1,2,4,8: measure HOST-ONLY "
+                         "pack-reader img/s at each whole-batch producer "
+                         "count (the 1->N reader-scaling record)")
     args = ap.parse_args()
 
     from equss_tpu.core.config import prepare_config
@@ -99,6 +103,26 @@ def main() -> None:
         return UnSegData(
             "train", args.corpus, "cocostuff27", crop_type="five", res=224,
             pos_images=True, num_neighbors=7, num_workers=0, **kw)
+
+    if args.producers_scan:
+        base = default_pack_base(args.corpus, "cocostuff27", "train",
+                                 "five", 224)
+        if not os.path.exists(base + ".bin"):
+            pack_dataset(pipe(pack="off").dataset, base, log_every=0)
+        scan = {}
+        for p in [int(x) for x in args.producers_scan.split(",")]:
+            data = pipe(pack="on", producers=p)
+            assert data._fast_batch_kind() == "pack"
+            rates = []
+            for epoch in range(args.epochs):
+                t0 = time.perf_counter()
+                count = sum(b["img"].shape[0]
+                            for b in data.batches(args.batch, seed=epoch))
+                rates.append(count / (time.perf_counter() - t0))
+            scan[p] = max(rates)
+            print(f"  pack host-only producers={p}: {scan[p]:.0f} img/s")
+        print({k: round(v) for k, v in scan.items()})
+        return
 
     trainer = Trainer(cfg)
     ts = trainer.init_state(jax.random.PRNGKey(0), img_hw=(224, 224))
