@@ -289,7 +289,14 @@ def run_export_job(cfg: Dict[str, Any]) -> str:
         trainer, state, (res, res),
         batch_size=int(exp_cfg.get("batch_size", 1)),
         normalize=bool(exp_cfg.get("normalize", True)),
-        platforms=platforms)
+        platforms=platforms,
+        # export.symbolic_batch=off pins the batch so the TPU trace can
+        # capture the fused Pallas assignment kernel (serve.py docstring).
+        # OmegaConf parses the dotlist literal `off` as boolean False —
+        # normalize both spellings.
+        symbolic_batch={False: "off", True: "auto"}.get(
+            exp_cfg.get("symbolic_batch", "auto"),
+            str(exp_cfg.get("symbolic_batch", "auto"))))
     serve.save_predictor(exported, out_path)
     print(f"-> {out_path} ({os.path.getsize(out_path)} bytes; "
           f"input {exported.in_avals[0].shape})")

@@ -72,16 +72,31 @@ def build_predict_fn(trainer, ts: Dict[str, Any], *,
 
 def export_predictor(trainer, ts: Dict[str, Any], img_hw,
                      *, batch_size: int = 1, normalize: bool = True,
-                     platforms: Optional[list] = None):
+                     platforms: Optional[list] = None,
+                     symbolic_batch: str = "auto"):
     """Export the predictor as a ``jax.export.Exported`` artifact.
 
-    Tries a symbolic batch dimension first; falls back to the concrete
-    ``batch_size`` when the graph demands static shapes (Pallas
-    kernels).  ``platforms`` defaults to the current backend; pass e.g.
-    ``["tpu", "cpu"]`` to build a multi-platform artifact.
+    ``symbolic_batch='auto'`` (default) tries a symbolic batch dimension
+    first and falls back to the concrete ``batch_size`` when the graph
+    demands static shapes (Pallas kernels).  ``'off'`` pins
+    ``batch_size`` up front — on a TPU backend the trace then sees a
+    concrete n, so the quantizer's ``use_pallas: auto`` gate CAN route
+    the fused Pallas assignment kernel into the artifact (a symbolic
+    trace never can — quantizer.py pins the XLA path for unknown n);
+    use this for fixed-batch serving where the kernel's in-model win
+    matters (PERF.md #20/#21).  ``platforms`` defaults to the current
+    backend; pass e.g. ``["tpu", "cpu"]`` for a multi-platform artifact
+    (multi-platform also keeps the XLA path — Mosaic kernels are
+    TPU-only custom calls).
     """
+    if symbolic_batch not in ("auto", "off"):
+        raise ValueError(
+            f"export.symbolic_batch must be auto|off, got {symbolic_batch}")
     predict = jax.jit(build_predict_fn(trainer, ts, normalize=normalize))
     kw = {"platforms": platforms} if platforms else {}
+    if symbolic_batch == "off":
+        spec = jax.ShapeDtypeStruct((batch_size, *img_hw, 3), jnp.float32)
+        return jax.export.export(predict, **kw)(spec)
     try:
         (b,) = jax.export.symbolic_shape("b")
         spec = jax.ShapeDtypeStruct((b, *img_hw, 3), jnp.float32)

@@ -49,6 +49,27 @@ def test_export_symbolic_batch(exported_blob):
         assert out["cluster_preds"].shape == (b, 16, 16)
 
 
+def test_export_symbolic_batch_off_pins_batch(exported_blob):
+    """export.symbolic_batch=off pins the batch up front — the
+    fixed-batch serving variant whose TPU trace can capture the Pallas
+    assignment kernel (VERDICT r4 #4; on CPU here it just pins)."""
+    _, live = exported_blob
+    trainer = Trainer(tiny_cfg(), mesh=make_mesh(1))
+    ts = jax.device_get(
+        trainer.init_state(jax.random.PRNGKey(0), img_hw=(16, 16)))
+    exported = serve.export_predictor(trainer, ts, (16, 16),
+                                      batch_size=3, symbolic_batch="off")
+    assert exported.in_avals[0].shape[0] == 3
+    predict = serve.load_predictor(bytes(exported.serialize()))
+    img = np.random.RandomState(1).rand(3, 16, 16, 3).astype(np.float32)
+    out = predict(img)
+    ref = live(img)
+    np.testing.assert_array_equal(np.asarray(out["cluster_preds"]),
+                                  np.asarray(ref["cluster_preds"]))
+    with pytest.raises(ValueError):
+        serve.export_predictor(trainer, ts, (16, 16), symbolic_batch="x")
+
+
 def test_uint8_input_matches_float(exported_blob):
     """load_predictor scales uint8 0-255 input to [0, 1] before the f32
     cast — a raw-image caller must get the same predictions as a
