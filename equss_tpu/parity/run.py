@@ -48,6 +48,9 @@ PARITY_DEPENDENCIES = [
     "equss_tpu/losses/sinkhorn.py",
     "equss_tpu/eval/probes.py",
     "equss_tpu/eval/metrics.py",
+    "equss_tpu/parity/crf_compare.py",
+    "equss_tpu/ops/crf.py",
+    "equss_tpu/ops/crf_native.py",
 ]
 
 
@@ -167,6 +170,8 @@ def main(argv=None):
     p.add_argument("--res", type=int, default=64)
     p.add_argument("--skip-dump", action="store_true")
     p.add_argument("--skip-module-twins", action="store_true")
+    p.add_argument("--skip-crf", action="store_true",
+                   help="skip the exact-vs-lattice CRF comparison section")
     p.add_argument("--variants", nargs="+",
                    default=["pqgo", "stego", "spq", "sl"],
                    choices=["pqgo", "stego", "spq", "sl"])
@@ -270,6 +275,53 @@ def main(argv=None):
         summary["module_twins"] = mt_summary
         if not mt_all_pass:
             print("module twins FAILED thresholds", file=sys.stderr)
+
+    if not args.skip_crf:
+        from equss_tpu.parity.crf_compare import run_crf_compare
+
+        t0 = time.time()
+        crf = run_crf_compare()
+        lines.append("## CRF refinement: exact MXU mean field vs native "
+                     "lattice (the pydensecrf story)\n")
+        lines.append(
+            "The reference's final eval refines probe log-probs through "
+            "pydensecrf (utils/crf_utils.py:62-71), whose bilateral "
+            "message pass is itself an APPROXIMATION (Krähenbühl "
+            "permutohedral lattice).  pydensecrf cannot be installed "
+            "here (zero egress), so bitwise parity against it is "
+            "unknowable in this environment; what IS checkable is the "
+            "mean-field objective both implement.  `ops/crf.py` computes "
+            "that objective EXACTLY (dense blocked kernel on the MXU, no "
+            "lattice approximation) — the ground truth of the shared "
+            "objective — while `native/permutohedral.cpp` mirrors "
+            "pydensecrf's approximation structure (lattice "
+            "splat/blur/slice).  Their agreement below bounds the "
+            "metric-level effect of lattice approximation: the same "
+            "order as pydensecrf's own deviation from the exact mean "
+            "field.  Protocol: train the flagship twin config "
+            f"({crf['n_imgs']} val images @ {crf['res']}², "
+            "equss_tpu/parity/crf_compare.py), compute each val batch's "
+            "probe log-probs ONCE, refine the SAME log-probs through "
+            "both stacks, score all three with the same metric stack.\n")
+        lines.append("| probe metric | no CRF | exact MXU CRF | "
+                     "native lattice CRF |")
+        lines.append("|---|---|---|---|")
+        m = crf["metrics"]
+        for k in ("Cluster_mIoU", "Cluster_Accuracy", "Linear_mIoU",
+                  "Linear_Accuracy"):
+            lines.append(f"| {k} | {m['none'][k]:.3f} | "
+                         f"{m['exact'][k]:.3f} | {m['lattice'][k]:.3f} |")
+        ag = crf["agreement"]
+        lines.append(
+            f"\nPer-pixel refined-argmax agreement exact-vs-lattice: "
+            f"cluster {100 * ag['cluster']:.1f}%, linear "
+            f"{100 * ag['linear']:.1f}%.  (CPU harness wall-clock, not a "
+            f"perf number: exact {crf['ms_per_img']['exact']:.0f} "
+            f"ms/img, lattice {crf['ms_per_img']['lattice']:.0f} ms/img "
+            f"at {crf['res']}²; the TPU-measured 320² exact-CRF cost is "
+            f"the README table's 281 ms/img row.  "
+            f"{time.time() - t0:.0f}s.)\n")
+        summary["crf"] = {"metrics": m, "agreement": ag}
 
     dump = None
     if not args.skip_dump and "pqgo" in args.variants:
