@@ -39,6 +39,9 @@ def main(argv=None):
     ap.add_argument("--model", default="vit_small",
                     choices=["vit_small", "vit_base"])
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--ln-stats", default="f32", choices=["f32", "bf16"],
+                    help="bf16 = opt-in bf16 LayerNorm statistics "
+                         "(model.pretrained.ln_stats; PERF.md #21 A/B)")
     args = ap.parse_args(argv)
 
     cfg = EQUSSConfig(
@@ -47,6 +50,7 @@ def main(argv=None):
         hidden_dim=1024,
         dropout=False,
         backbone_dtype=jnp.bfloat16,
+        ln_stats=args.ln_stats,
         attn_bf16=True,      # reference evaluates under fp16 autocast
         # bf16 distances/gather = the shipped fast config
         # (configs/pqgo_cocostuff27.yaml assign_precision: bf16), the

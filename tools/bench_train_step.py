@@ -1,0 +1,101 @@
+"""Device-resident pqgo TRAIN-step benchmark (ms/step, img/s/chip).
+
+The README table's "train step pqgo b=16 @224², device-resident" method:
+synthetic batch placed on device once, `Trainer._train_step` timed over
+windows with a fetched loss scalar as the sync point (PERF.md timing
+rules for the tunneled chip).  Exposes the two round-5 A/B knobs:
+
+  --ln-stats f32|bf16    model.pretrained.ln_stats (PERF.md #15/#21 —
+                         the opt-in bf16 LayerNorm-statistics mode)
+  --use-pallas auto|0    model.vq.use_pallas.  NOTE: the fused Pallas
+                         assignment kernel is gated `not training`
+                         (ops/quantizer.py use_pallas eligibility) —
+                         training needs the dense distance tensor for
+                         the codebook/commitment losses and gradients
+                         through the straight-through path, and the
+                         kernel has no VJP — so this knob is expected
+                         to be a no-op here; it exists to VERIFY that
+                         (VERDICT r4 weak #6).
+
+Usage: python tools/bench_train_step.py [--batch 16] [--ln-stats f32]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--res", type=int, default=224)
+    ap.add_argument("--ln-stats", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--use-pallas", default="auto")
+    ap.add_argument("--windows", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    from equss_tpu.core.config import prepare_config
+    from equss_tpu.parallel.mesh import make_mesh, shard_batch
+    from equss_tpu.train.trainer import Trainer
+
+    cfg, _ = prepare_config([
+        "--config", os.path.join(os.path.dirname(__file__), "..",
+                                 "configs", "pqgo_cocostuff27.yaml"),
+        "debug=true",
+        f"model.pretrained.ln_stats={args.ln_stats}",
+        f"model.vq.use_pallas={args.use_pallas}",
+        f"dataloader.train.batch_size={args.batch}",
+    ])
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = trainer.init_state(jax.random.PRNGKey(0),
+                            img_hw=(args.res, args.res))
+
+    rng = np.random.RandomState(0)
+    batch = shard_batch(trainer.mesh, trainer._host_trim({
+        "img": rng.rand(args.batch, args.res, args.res, 3)
+               .astype(np.float32),
+        "img_pos": rng.rand(args.batch, args.res, args.res, 3)
+                   .astype(np.float32),
+        "label": rng.randint(0, cfg["num_classes"],
+                             (args.batch, args.res, args.res))
+                 .astype(np.int32),
+    }))
+
+    for _ in range(3):                       # compile + warm
+        ts, metrics = trainer._train_step(ts, batch)
+        float(metrics["loss"])
+
+    dts = []
+    for _ in range(args.windows):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            ts, metrics = trainer._train_step(ts, batch)
+        float(metrics["loss"])              # device sync (PERF.md)
+        dts.append(time.perf_counter() - t0)
+
+    best = min(dts)
+    med = sorted(dts)[len(dts) // 2]
+    print({
+        "ms_per_step_best": round(1e3 * best / args.iters, 2),
+        "ms_per_step_median": round(1e3 * med / args.iters, 2),
+        "img_per_sec_best": round(args.batch * args.iters / best, 1),
+        "ln_stats": args.ln_stats,
+        "use_pallas": args.use_pallas,
+        "batch": args.batch, "res": args.res,
+    })
+
+
+if __name__ == "__main__":
+    main()
