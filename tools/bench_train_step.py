@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--use-pallas", default="auto")
     ap.add_argument("--windows", type=int, default=3)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--override", action="append", default=[],
+                    help="extra dotlist config overrides (repeatable) — "
+                         "e.g. the CPU smoke pins the f32 preset because "
+                         "the CPU backend lacks bf16 dot kernels")
     args = ap.parse_args()
 
     from equss_tpu.core.config import prepare_config
@@ -57,7 +61,7 @@ def main() -> None:
         f"model.pretrained.ln_stats={args.ln_stats}",
         f"model.vq.use_pallas={args.use_pallas}",
         f"dataloader.train.batch_size={args.batch}",
-    ])
+    ] + args.override)
     trainer = Trainer(cfg, mesh=make_mesh(1))
     ts = trainer.init_state(jax.random.PRNGKey(0),
                             img_hw=(args.res, args.res))
