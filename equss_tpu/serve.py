@@ -70,6 +70,30 @@ def build_predict_fn(trainer, ts: Dict[str, Any], *,
     return predict
 
 
+def build_sharded_predict_fn(trainer, ts: Dict[str, Any], mesh, *,
+                             normalize: bool = True) -> Callable:
+    """Batch-sharded live predictor for multi-chip (pod) serving.
+
+    The exported-artifact path is single-device; for pod deployments
+    the live predictor jits once over a device mesh with the image
+    batch sharded along the ``data`` axis.  The whole forward (frozen
+    backbone + per-pixel PQ assignment + probes) is batch-parallel with
+    no cross-image reductions, so GSPMD partitions it with ZERO
+    collectives on the hot path — N chips serve N× the batch at the
+    single-chip step time.  Weights embed as constants and replicate.
+    The batch size must be divisible by the mesh's data-axis size.
+
+    Reference analogue: the valid-loop-under-DDP inference pattern
+    (/root/reference/train.py:275-278, one process per GPU) re-designed
+    as one jit over a `jax.sharding.Mesh`.
+    """
+    from equss_tpu.parallel.mesh import batch_sharding
+
+    predict = build_predict_fn(trainer, ts, normalize=normalize)
+    sh = batch_sharding(mesh)
+    return jax.jit(predict, in_shardings=sh, out_shardings=sh)
+
+
 def export_predictor(trainer, ts: Dict[str, Any], img_hw,
                      *, batch_size: int = 1, normalize: bool = True,
                      platforms: Optional[list] = None,

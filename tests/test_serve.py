@@ -129,3 +129,25 @@ def test_export_stego_family(tmp_path):
         assert out[k].shape == (2, 16, 16)
         np.testing.assert_array_equal(np.asarray(out[k]),
                                       np.asarray(live[k]))
+
+
+def test_sharded_predictor_matches_single_device(exported_blob):
+    """Multi-chip serving: the batch-sharded live predictor over the
+    8-device mesh returns exactly the single-device predictions, with
+    inputs/outputs actually sharded over the data axis (zero-collective
+    batch parallelism — serve.build_sharded_predict_fn)."""
+    _, live = exported_blob
+    trainer = Trainer(tiny_cfg(), mesh=make_mesh(1))
+    ts = jax.device_get(
+        trainer.init_state(jax.random.PRNGKey(0), img_hw=(16, 16)))
+    mesh = make_mesh(8)
+    predict = serve.build_sharded_predict_fn(trainer, ts, mesh)
+    img = np.random.RandomState(2).rand(8, 16, 16, 3).astype(np.float32)
+    out = predict(img)
+    ref = live(img)
+    for k in ("cluster_preds", "linear_preds"):
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(ref[k]))
+        # the result really lives sharded across all 8 devices
+        assert len(out[k].sharding.device_set) == 8
+        assert not out[k].sharding.is_fully_replicated
