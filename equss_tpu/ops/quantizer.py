@@ -28,6 +28,7 @@ dino_pqgo.py:757-768):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, Optional, Tuple
 
@@ -287,6 +288,86 @@ def _maybe_psum(x: jnp.ndarray, axis_name: Optional[str]) -> jnp.ndarray:
     return x
 
 
+def _usage_aux(count: jnp.ndarray, K: int) -> Dict[str, jnp.ndarray]:
+    """Codebook health telemetry from (M, K) usage counts: live-codeword
+    ratio (dino_pqgo.py:436-437) and usage-CDF percentiles — fraction of
+    codewords covering 10/50/90% of assignments (quantizer.py:15-30
+    get_histogram_count), subspace-averaged."""
+    aux = {"codebook-usage": jnp.mean(
+        jnp.sum((count > 0).astype(jnp.float32), axis=-1) / K)}
+    prob = count / (jnp.sum(count, axis=-1, keepdims=True) + 1.0)
+    prob = jnp.sort(prob, axis=-1)[:, ::-1]
+    c_sum = jnp.cumsum(prob, axis=-1)
+    for q in (10, 50, 90):
+        idx_q = jnp.argmax(c_sum >= q / 100.0, axis=-1)
+        aux[f"current-p{q}"] = jnp.mean(idx_q / K)
+    return aux
+
+
+def _count_from_indices(indices: jnp.ndarray, M: int, K: int) -> jnp.ndarray:
+    """(n, M) assignment indices -> (M, K) usage counts WITHOUT the dense
+    (n, M, K) one-hot the XLA stats path materializes (~820 MB f32 at the
+    b=16 flagship shape): a flat segment-sum of ones over m*K+idx."""
+    flat = (jnp.arange(M, dtype=jnp.int32)[None, :] * K + indices).reshape(-1)
+    return jax.ops.segment_sum(
+        jnp.ones_like(flat, dtype=jnp.float32), flat, num_segments=M * K
+    ).reshape(M, K)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pallas_assign_ste(zf, codebook, codebook_norm, normalize, exact):
+    """Differentiable wrapper over the fused Pallas assignment kernel
+    (ops/pq_pallas.py) for TRAINING on param-type codebooks.
+
+    Forward: the kernel (normalize + distance + argmin + codeword gather
+    fused in VMEM — none of the (n, M, K) distance / one-hot tensors and
+    none of the (n, M, d) layout copies the XLA path materializes).
+    Backward (analytic — what XLA's autodiff computes for the same math):
+
+      * d z: the assignment indices are piecewise-constant (argmin kills
+        the distance cotangent), so z's gradient flows only through the
+        z_norm output — the VJP of ``normalize_vectors`` recomputed on
+        the saved input (rematerialization, not storage).
+      * d codebook: the gather's transpose, a scatter-add of the z_q
+        cotangent at the assignment indices — expressed as the one-hot
+        einsum ``(n,M,K)ᵀ(n,M,d)`` so it rides the MXU exactly like the
+        backward of the XLA one-hot-gather path (the dynamic-scatter
+        form measured 5.4 ms DMA-bound, quantizer.py bf16 branch note).
+        The bf16 fast mode's codeword rounding gets the same
+        convert-is-identity gradient XLA applies to ``astype(bf16)``.
+      * d codebook_norm: zero — it feeds only the argmin.
+    """
+    out, _ = _pallas_assign_ste_fwd(zf, codebook, codebook_norm,
+                                    normalize, exact)
+    return out
+
+
+def _pallas_assign_ste_fwd(zf, codebook, codebook_norm, normalize, exact):
+    from equss_tpu.ops.pq_pallas import pq_assign_pallas
+
+    indices, zn, zq = pq_assign_pallas(
+        zf, codebook_norm, codebook, normalize=normalize, exact=exact)
+    return (indices, zn, zq), (zf, indices, codebook_norm)
+
+
+def _pallas_assign_ste_bwd(normalize, exact, res, cts):
+    zf, indices, codebook_norm = res
+    _, d_zn, d_zq = cts                      # d indices: int output, no grad
+    K = codebook_norm.shape[1]
+    if normalize == "none":
+        d_z = d_zn
+    else:
+        _, vjp_n = jax.vjp(lambda z: normalize_vectors(z, normalize), zf)
+        (d_z,) = vjp_n(d_zn)
+    oh = jax.nn.one_hot(indices, K, dtype=d_zq.dtype)
+    d_c = jnp.einsum("nmk,nmd->mkd", oh, d_zq,
+                     preferred_element_type=jnp.float32)
+    return d_z, d_c.astype(zf.dtype), jnp.zeros_like(codebook_norm)
+
+
+_pallas_assign_ste.defvjp(_pallas_assign_ste_fwd, _pallas_assign_ste_bwd)
+
+
 def ema_codebook_update(
     state: Dict[str, Any],
     count: jnp.ndarray,
@@ -445,9 +526,24 @@ def pq_forward(
             want_pallas = per_chip > cfg.pallas_auto_bytes
     else:
         want_pallas = bool(cfg.use_pallas)
+    # Training eligibility for the kernel route (the _pallas_assign_ste
+    # custom-VJP wrapper): param-type only (EMA's vec_sum needs the
+    # unnormalized one-hot einsum regardless), no restart/split (they
+    # consume tensors beyond the kernel outputs), and running-stat-free
+    # normalization.  Engaged only by an EXPLICIT use_pallas=1 — 'auto'
+    # keeps the measured inference-only routing until the in-model
+    # train A/B is recorded (the PERF.md #20 lesson: benchmark a kernel
+    # in the graph position it will occupy before routing to it).
+    train_route_ok = (
+        cfg.use_pallas != "auto"
+        and cfg.vq_type == "param"
+        and not cfg.use_restart
+        and not cfg.use_split
+        and cfg.normalize != "z_trainable"
+    )
     use_pallas = (
         want_pallas
-        and not training
+        and (not training or train_route_ok)
         and not want_prob_eff
         and not cfg.use_weighted_sum
         and not cfg.use_gumbel
@@ -456,16 +552,24 @@ def pq_forward(
         and cfg.num_codebook % 128 == 0
     )
     if use_pallas:
-        from equss_tpu.ops.pq_pallas import pq_assign_pallas
+        exact = cfg.assign_precision != "bf16"
+        if training:
+            # custom-VJP route: gradients flow to z (normalize chain)
+            # and codebook (one-hot MXU scatter) — see _pallas_assign_ste
+            indices, zn_m, zq_m = _pallas_assign_ste(
+                zf, codebook, codebook_norm, cfg.normalize, exact)
+        else:
+            from equss_tpu.ops.pq_pallas import pq_assign_pallas
 
-        indices, zn_m, zq_m = pq_assign_pallas(
-            zf, codebook_norm, codebook,
-            normalize=cfg.normalize, z_mean=z_mean, z_std=z_std,
-            exact=(cfg.assign_precision != "bf16"),
-        )
+            indices, zn_m, zq_m = pq_assign_pallas(
+                zf, codebook_norm, codebook,
+                normalize=cfg.normalize, z_mean=z_mean, z_std=z_std,
+                exact=exact,
+            )
         zn_flat = zn_m.reshape(n, M * d)
         zq_flat = zq_m.reshape(n, M * d)
         aux: Dict[str, Any] = {}
+        new_state = dict(state)
         sg = jax.lax.stop_gradient
         commitment = jnp.mean((zn_flat - sg(zq_flat)) ** 2)
         if cfg.vq_type == "param":
@@ -475,9 +579,16 @@ def pq_forward(
             aux["vq-loss"] = cfg.beta * commitment
         z_q = zn_flat + sg(zq_flat - zn_flat)
         aux["codebook-sum"] = jnp.sum(jnp.abs(codebook)) / M
+        if training:
+            # same stats/state contract as the XLA training path, from
+            # the indices alone (no dense one-hot)
+            count = _maybe_psum(_count_from_indices(indices, M, K),
+                                axis_name)
+            new_state["vq_count"] = state["vq_count"] + count
+            aux.update(_usage_aux(count, K))
         z_q = z_q.reshape(*lead_shape, M * d)
         indices = indices.reshape(*lead_shape, M)
-        return z_q, indices, aux, dict(state)
+        return z_q, indices, aux, new_state
 
     # ---- z normalization, XLA path (dino_pqgo.py:369-390) ----
     if cfg.normalize == "z_trainable":
@@ -548,17 +659,7 @@ def pq_forward(
         one_hot = jax.nn.one_hot(indices, K, dtype=jnp.float32)     # (n, M, K)
         count = _maybe_psum(jnp.sum(one_hot, axis=0), axis_name)    # (M, K)
         new_state["vq_count"] = state["vq_count"] + count
-        usage = jnp.mean(jnp.sum((count > 0).astype(jnp.float32), axis=-1) / K)
-        aux["codebook-usage"] = usage
-        # usage-CDF percentiles, subspace-averaged (quantizer.py:15-30
-        # get_histogram_count telemetry: fraction of codewords covering
-        # 10/50/90% of assignments)
-        prob = count / (jnp.sum(count, axis=-1, keepdims=True) + 1.0)
-        prob = jnp.sort(prob, axis=-1)[:, ::-1]
-        c_sum = jnp.cumsum(prob, axis=-1)
-        for q in (10, 50, 90):
-            idx_q = jnp.argmax(c_sum >= q / 100.0, axis=-1)
-            aux[f"current-p{q}"] = jnp.mean(idx_q / K)
+        aux.update(_usage_aux(count, K))
 
         if cfg.vq_type == "ema":
             # EMA sums use the *unnormalized* z (dino_pqgo.py:417)

@@ -350,3 +350,82 @@ def test_use_pallas_auto_threshold(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", real_backend)
     assert calls == [1, "tpu"]
     np.testing.assert_array_equal(np.asarray(idx_t), np.asarray(idx_xla))
+
+
+def test_pallas_train_route_matches_xla_values_and_grads():
+    """The kernel TRAINING route (explicit use_pallas + training=True —
+    the _pallas_assign_ste custom-VJP wrapper) must reproduce the XLA
+    path's forward outputs, losses, stats AND gradients: z's gradient
+    flows through the normalize chain, the codebook's through the
+    one-hot scatter (codebook_loss only — the straight-through rewrite
+    blocks downstream codebook grads, dino_pqgo.py:440-444)."""
+    import dataclasses
+
+    cfg = PQConfig(num_pq=8, num_codebook=128, embed_dim=128,
+                   vq_type="param", normalize="l2")
+    cfg_k = dataclasses.replace(cfg, use_pallas=True)
+    params, state = pq_init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 5, 128))
+    w = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 5, 128))
+
+    def run(c):
+        def loss_fn(z, params):
+            z_q, idx, aux, ns = pq_forward(z, params, state, c,
+                                           training=True)
+            # the z_q consumer exercises the straight-through path
+            return aux["vq-loss"] + jnp.mean(z_q * w), (idx, aux, ns)
+
+        (loss, (idx, aux, ns)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(z, params)
+        return loss, idx, aux, ns, grads
+
+    loss_x, idx_x, aux_x, ns_x, g_x = run(cfg)
+    loss_p, idx_p, aux_p, ns_p, g_p = run(cfg_k)
+
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+    np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=1e-6)
+    for k in ("codebook-usage", "current-p50"):
+        np.testing.assert_allclose(float(aux_p[k]), float(aux_x[k]),
+                                   rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ns_p["vq_count"]),
+                               np.asarray(ns_x["vq_count"]))
+    np.testing.assert_allclose(np.asarray(g_p[0]), np.asarray(g_x[0]),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_p[1]["codebook"]),
+                               np.asarray(g_x[1]["codebook"]),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_pallas_train_route_bf16_mode():
+    """Same training route in the bf16 fast mode (the flagship preset),
+    checked against a NumPy oracle — the CPU backend cannot execute the
+    XLA bf16 one-hot einsum at all (no bf16 DotThunk), so the XLA twin
+    of this mode is TPU-only; the oracle is the mode's definition:
+    z_q = bf16-rounded raw codewords at the assignment indices.
+    Gradient-structure parity is covered by the exact-mode test above
+    (bf16 changes only codeword rounding, not the VJP wiring)."""
+    import dataclasses
+
+    cfg = PQConfig(num_pq=8, num_codebook=128, embed_dim=128,
+                   vq_type="param", normalize="l2",
+                   assign_precision="bf16", use_pallas=True)
+    params, state = pq_init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 5, 128))
+
+    z_q, idx, aux, _ = pq_forward(z, params, state, cfg, training=True)
+    z_q = np.asarray(z_q).reshape(2, 5, 5, 8, 16)
+    idx = np.asarray(idx)
+    assert np.isfinite(float(aux["vq-loss"]))
+
+    cb = np.asarray(jnp.asarray(params["codebook"])
+                    .astype(jnp.bfloat16).astype(jnp.float32))  # (M, K, d)
+    expect = np.take_along_axis(
+        cb[None, None, None], idx[..., None, None],
+        axis=-2).squeeze(-2)                                    # via idx
+    np.testing.assert_allclose(z_q, expect, rtol=1e-6, atol=1e-6)
+
+    # assignments agree with the exact path away from bf16 ties
+    cfg_e = dataclasses.replace(cfg, assign_precision="exact",
+                                use_pallas=False)
+    _, idx_e, _, _ = pq_forward(z, params, state, cfg_e, training=True)
+    assert np.mean(idx == np.asarray(idx_e)) > 0.95
