@@ -304,16 +304,6 @@ def _usage_aux(count: jnp.ndarray, K: int) -> Dict[str, jnp.ndarray]:
     return aux
 
 
-def _count_from_indices(indices: jnp.ndarray, M: int, K: int) -> jnp.ndarray:
-    """(n, M) assignment indices -> (M, K) usage counts WITHOUT the dense
-    (n, M, K) one-hot the XLA stats path materializes (~820 MB f32 at the
-    b=16 flagship shape): a flat segment-sum of ones over m*K+idx."""
-    flat = (jnp.arange(M, dtype=jnp.int32)[None, :] * K + indices).reshape(-1)
-    return jax.ops.segment_sum(
-        jnp.ones_like(flat, dtype=jnp.float32), flat, num_segments=M * K
-    ).reshape(M, K)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _pallas_assign_ste(zf, codebook, codebook_norm, normalize, exact):
     """Differentiable wrapper over the fused Pallas assignment kernel
@@ -580,10 +570,14 @@ def pq_forward(
         z_q = zn_flat + sg(zq_flat - zn_flat)
         aux["codebook-sum"] = jnp.sum(jnp.abs(codebook)) / M
         if training:
-            # same stats/state contract as the XLA training path, from
-            # the indices alone (no dense one-hot)
-            count = _maybe_psum(_count_from_indices(indices, M, K),
-                                axis_name)
+            # same stats/state contract as the XLA training path.  The
+            # one-hot count sum is deliberate: a segment-sum from the
+            # indices looks cheaper on paper but is a DMA-bound scatter
+            # on TPU — measured 37.0 vs 31.3 ms on the b=16 flagship
+            # train step (PERF.md #23)
+            count = _maybe_psum(
+                jnp.sum(jax.nn.one_hot(indices, K, dtype=jnp.float32),
+                        axis=0), axis_name)
             new_state["vq_count"] = state["vq_count"] + count
             aux.update(_usage_aux(count, K))
         z_q = z_q.reshape(*lead_shape, M * d)
